@@ -1,0 +1,144 @@
+"""Per-gaussian preprocess: project, EWA 2D covariance, radii, tile rects.
+
+This is the jnp re-design of the reference CUDA preprocess
+(diff-gaussian-rasterization/cuda_rasterizer/forward.cu:74-255): frustum
+cull, perspective projection, cov3D -> cov2D via the EWA Jacobian with the
+0.3 low-pass dilation, conic + 3-sigma radius, and touched-tile rects.
+
+Everything is branch-free masked math over the fixed-capacity gaussian
+arrays, so XLA can fuse it and autodiff it (the backward of this stage is
+left entirely to XLA — only the blend stage has a hand-written VJP).
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gssr_tpu.utils.general import build_covariance
+
+TILE = 16          # tile edge in pixels, matches the CUDA BLOCK_X/BLOCK_Y
+NEAR_CULL = 0.2    # view-space z cull threshold (auxiliary.h in_frustum)
+COV2D_DILATE = 0.3  # low-pass filter added to cov2D diagonal
+
+
+class Projected(NamedTuple):
+    """Per-gaussian screen-space quantities (fixed capacity N)."""
+    mean2d: jnp.ndarray     # [N,2] pixel coords
+    conic: jnp.ndarray      # [N,3] inverse 2D covariance (xx, xy, yy)
+    depth: jnp.ndarray      # [N] view-space z
+    radius: jnp.ndarray     # [N] int32 screen radius, 0 => culled
+    rect: jnp.ndarray       # [N,4] int32 tile rect (x0, y0, x1, y1), exclusive max
+    tiles_touched: jnp.ndarray  # [N] int32
+    cov2d: jnp.ndarray      # [N,3] 2D covariance (xx, xy, yy) pre-inversion
+
+
+def ndc_to_pix(v, size):
+    return ((v + 1.0) * size - 1.0) * 0.5
+
+
+def project_points(means3d, w2c, full_proj):
+    """Transform means to view space and NDC->pixel-ready projective coords."""
+    ones = jnp.ones_like(means3d[..., :1])
+    hom = jnp.concatenate([means3d, ones], axis=-1)
+    p_view = hom @ w2c[:3, :].T                     # [N,3]
+    p_hom = hom @ full_proj.T                       # [N,4]
+    p_w = 1.0 / (p_hom[..., 3:4] + 1e-7)
+    p_proj = p_hom[..., :3] * p_w
+    return p_view, p_proj
+
+
+def compute_cov2d(means3d, cov3d, w2c, fx, fy, tan_fovx, tan_fovy):
+    """EWA projection of the 3D covariance (forward.cu:74-113).
+
+    cov3d: [N,6] packed (xx,xy,xz,yy,yz,zz). Returns [N,3] (xx,xy,yy) with
+    the +0.3 dilation applied.
+    """
+    ones = jnp.ones_like(means3d[..., :1])
+    t = jnp.concatenate([means3d, ones], axis=-1) @ w2c[:3, :].T
+    tz = t[..., 2]
+    limx, limy = 1.3 * tan_fovx, 1.3 * tan_fovy
+    txtz = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
+    tytz = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
+
+    inv_z = 1.0 / tz
+    inv_z2 = inv_z * inv_z
+    # J rows for x and y screen dims (the z row is zero)
+    j00 = fx * inv_z
+    j02 = -fx * txtz * inv_z2
+    j11 = fy * inv_z
+    j12 = -fy * tytz * inv_z2
+
+    W = w2c[:3, :3]                                  # world->cam rotation
+    # M = J @ W : [N,2,3]
+    m0 = j00[..., None] * W[0] + j02[..., None] * W[2]
+    m1 = j11[..., None] * W[1] + j12[..., None] * W[2]
+
+    c = cov3d
+    Sigma = jnp.stack([
+        jnp.stack([c[..., 0], c[..., 1], c[..., 2]], -1),
+        jnp.stack([c[..., 1], c[..., 3], c[..., 4]], -1),
+        jnp.stack([c[..., 2], c[..., 4], c[..., 5]], -1),
+    ], -2)                                           # [N,3,3]
+    s0 = jnp.einsum("ni,nij->nj", m0, Sigma)
+    s1 = jnp.einsum("ni,nij->nj", m1, Sigma)
+    cxx = jnp.einsum("ni,ni->n", s0, m0) + COV2D_DILATE
+    cxy = jnp.einsum("ni,ni->n", s0, m1)
+    cyy = jnp.einsum("ni,ni->n", s1, m1) + COV2D_DILATE
+    return jnp.stack([cxx, cxy, cyy], axis=-1)
+
+
+def tile_rect(mean2d, radius, tiles_x, tiles_y):
+    """Touched-tile rect, exclusive max (auxiliary.h getRect)."""
+    x, y = mean2d[..., 0], mean2d[..., 1]
+    r = radius.astype(jnp.float32)
+    x0 = jnp.clip(((x - r) / TILE), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(((y - r) / TILE), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(((x + r + TILE - 1) / TILE), 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(((y + r + TILE - 1) / TILE), 0, tiles_y).astype(jnp.int32)
+    return jnp.stack([x0, y0, x1, y1], axis=-1)
+
+
+def preprocess(means3d, scales, rotations, camera, width, height,
+               cov3d=None, scaling_modifier: float = 1.0,
+               active_mask=None) -> Projected:
+    """Vanilla-3DGS preprocess. width/height are the *padded* image size
+    (multiples of TILE). camera is a CameraArrays pytree."""
+    tiles_x, tiles_y = width // TILE, height // TILE
+    if cov3d is None:
+        cov3d = build_covariance(scales, rotations, scaling_modifier)
+
+    p_view, p_proj = project_points(means3d, camera.w2c, camera.full_proj)
+    depth = p_view[..., 2]
+    visible = depth > NEAR_CULL
+    if active_mask is not None:
+        visible = visible & active_mask
+
+    cov2d = compute_cov2d(means3d, cov3d, camera.w2c,
+                          camera.fx, camera.fy,
+                          camera.tan_fovx, camera.tan_fovy)
+    det = cov2d[..., 0] * cov2d[..., 2] - cov2d[..., 1] ** 2
+    visible = visible & (det > 0.0)
+    det_safe = jnp.where(det != 0.0, det, 1.0)
+    inv_det = 1.0 / det_safe
+    conic = jnp.stack([cov2d[..., 2] * inv_det,
+                       -cov2d[..., 1] * inv_det,
+                       cov2d[..., 0] * inv_det], axis=-1)
+
+    mid = 0.5 * (cov2d[..., 0] + cov2d[..., 2])
+    disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
+    lambda1 = mid + disc
+    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 1e-12)))
+    mean2d = jnp.stack([ndc_to_pix(p_proj[..., 0], width),
+                        ndc_to_pix(p_proj[..., 1], height)], axis=-1)
+
+    radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
+    rect = tile_rect(mean2d, radius, tiles_x, tiles_y)
+    tiles = (rect[..., 2] - rect[..., 0]) * (rect[..., 3] - rect[..., 1])
+    tiles = jnp.where(visible, tiles, 0).astype(jnp.int32)
+    # zero the rect extent for culled gaussians so binning skips them
+    radius = jnp.where(tiles > 0, radius, 0)
+
+    return Projected(mean2d=mean2d, conic=conic, depth=depth, radius=radius,
+                     rect=rect, tiles_touched=tiles, cov2d=cov2d)

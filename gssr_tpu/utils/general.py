@@ -1,0 +1,90 @@
+"""Small math helpers shared across the framework.
+
+Behavioral parity targets: /root/reference/gssr/utils/general_utils.py
+(inverse_sigmoid, expon LR schedule, quaternion->rotation), re-expressed as
+pure jnp functions usable inside jit.
+"""
+from __future__ import annotations
+
+import math
+
+import jax.numpy as jnp
+import numpy as np
+
+
+def inverse_sigmoid(x):
+    return jnp.log(x / (1.0 - x))
+
+
+def expon_lr(step, lr_init: float, lr_final: float, lr_delay_steps: int = 0,
+             lr_delay_mult: float = 1.0, max_steps: int = 1_000_000):
+    """Log-linearly interpolated LR decay (Plenoxels-style), traceable in jit.
+
+    Matches reference get_expon_lr_func (general_utils.py:29-62): returns
+    lr_init at step 0 and lr_final at max_steps; optional delayed warm-up.
+    """
+    if lr_init == 0.0 and lr_final == 0.0:
+        return jnp.zeros_like(jnp.asarray(step, jnp.float32))
+    step = jnp.asarray(step, jnp.float32)
+    if lr_delay_steps > 0:
+        delay_rate = lr_delay_mult + (1.0 - lr_delay_mult) * jnp.sin(
+            0.5 * jnp.pi * jnp.clip(step / lr_delay_steps, 0.0, 1.0))
+    else:
+        delay_rate = 1.0
+    t = jnp.clip(step / max_steps, 0.0, 1.0)
+    log_lerp = jnp.exp(math.log(lr_init) * (1.0 - t) + math.log(lr_final) * t)
+    lr = delay_rate * log_lerp
+    return jnp.where(step < 0, 0.0, lr)
+
+
+def quat_to_rotmat(q):
+    """[..., 4] (w, x, y, z) unnormalized quaternion -> [..., 3, 3] rotation."""
+    q = q / (jnp.linalg.norm(q, axis=-1, keepdims=True) + 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    rows = jnp.stack([
+        jnp.stack([r00, r01, r02], axis=-1),
+        jnp.stack([r10, r11, r12], axis=-1),
+        jnp.stack([r20, r21, r22], axis=-1),
+    ], axis=-2)
+    return rows
+
+
+def rotmat_to_quat(R: np.ndarray) -> np.ndarray:
+    """3x3 rotation matrix -> (w, x, y, z) quaternion, numpy host-side."""
+    K = np.array([
+        [R[0, 0] - R[1, 1] - R[2, 2], 0, 0, 0],
+        [R[0, 1] + R[1, 0], R[1, 1] - R[0, 0] - R[2, 2], 0, 0],
+        [R[0, 2] + R[2, 0], R[1, 2] + R[2, 1], R[2, 2] - R[0, 0] - R[1, 1], 0],
+        [R[2, 1] - R[1, 2], R[0, 2] - R[2, 0], R[1, 0] - R[0, 1],
+         R[0, 0] + R[1, 1] + R[2, 2]],
+    ]) / 3.0
+    w, V = np.linalg.eigh(K)
+    q = V[[3, 0, 1, 2], np.argmax(w)]
+    if q[0] < 0:
+        q = -q
+    return q
+
+
+def build_covariance(scaling, rotation, scaling_modifier: float = 1.0):
+    """Per-gaussian 3D covariance from activated scale + quaternion.
+
+    Returns the symmetric upper-triangular 6-vector (xx, xy, xz, yy, yz, zz),
+    same packing the reference CUDA uses (forward.cu computeCov3D).
+    """
+    R = quat_to_rotmat(rotation)
+    S = scaling_modifier * scaling
+    L = R * S[..., None, :]          # R @ diag(S)
+    cov = L @ jnp.swapaxes(L, -1, -2)
+    return jnp.stack([
+        cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],
+        cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2],
+    ], axis=-1)
