@@ -15,3 +15,12 @@ mesh extraction — built TPU-first:
 """
 
 __version__ = "0.1.0"
+
+# Persist compiled executables across processes: TPU kernel compiles go
+# through a remote service here and can take minutes; the cache makes each
+# (shape, kernel) combination compile once per machine.
+import os as _os
+
+_os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
+                       _os.path.expanduser("~/.cache/gssr_tpu_xla"))
+_os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")

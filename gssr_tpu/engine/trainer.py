@@ -1,0 +1,152 @@
+"""Training loop.
+
+Parity: /root/reference/gssr/engine/trainer.py:35-211 — same schedule
+surface (test/save/checkpoint iterations, gaussian + checkpoint persistence,
+TensorBoard scalars, resume). TPU re-design: the hot loop calls the scene's
+jitted train step and only syncs metrics to host every `log_interval` steps,
+keeping the device queue full; checkpoints are numpy pytree snapshots
+instead of torch pickles.
+"""
+from __future__ import annotations
+
+import os
+import time
+from pathlib import Path
+from typing import Optional
+
+import jax
+import numpy as np
+
+from gssr_tpu.configs.base import Config
+from gssr_tpu.engine.callbacks import TrainingCallbackLocation
+
+
+def _flatten_state(state):
+    leaves, treedef = jax.tree.flatten(state)
+    return leaves, treedef
+
+
+class Trainer:
+    def __init__(self, config: Config, scene=None):
+        self.config = config
+        base_dir = config.get_base_dir()
+        base_dir.mkdir(parents=True, exist_ok=True)
+        self.gaussian_dir = config.get_gaussian_dir()
+        self.ckpt_dir = config.get_checkpoint_dir()
+        self.log_dir = base_dir / config.relative_log_dir
+        self.writer = None
+        if config.writer == "tensorboard":
+            try:
+                from tensorboardX import SummaryWriter
+                self.writer = SummaryWriter(str(self.log_dir))
+            except Exception:
+                self.writer = None
+        self.scene = scene
+        self.start_step = 0
+
+    def setup(self):
+        if self.scene is None:
+            from gssr_tpu.configs.methods import build_scene
+            self.scene = build_scene(self.config)
+        t = self.config.trainer
+        if t.load_gaussian_dir is not None:
+            self._load_gaussians()
+        if t.load_ckpt_dir is not None:
+            self._load_checkpoint()
+
+    # ------------------------------------------------------------------
+    def train(self):
+        scene = self.scene
+        tcfg = self.config.trainer
+        state = scene.state
+        log_interval = max(1, tcfg.log_interval)
+        t0 = time.time()
+        ema_loss = None
+
+        for step in range(self.start_step + 1, tcfg.iterations + 1):
+            camera = scene.dataloader.next_train()
+            state, metrics = scene.train_step(state, camera, step)
+
+            if step % log_interval == 0:
+                m = {k: float(v) for k, v in metrics.items()}
+                loss = m.get("loss", 0.0)
+                ema_loss = loss if ema_loss is None else \
+                    0.6 * ema_loss + 0.4 * loss
+                if m.get("overflow"):
+                    print(f"[warn] instance buffer overflow at step {step} "
+                          f"(rendered {int(m.get('num_rendered', 0))}); "
+                          "raise scene.instance_cap")
+                if self.writer is not None:
+                    for k, v in m.items():
+                        self.writer.add_scalar(f"train/{k}", v, step)
+                if step % (log_interval * 50) == 0:
+                    ips = step / max(time.time() - t0, 1e-9)
+                    print(f"step {step:6d}  loss {ema_loss:.4f}  "
+                          f"n_active {int(state.n_active)}  {ips:.1f} it/s")
+
+            if step in tcfg.test_iterations:
+                ev = scene.evaluate(state, step)
+                print(f"[eval {step}] " + "  ".join(
+                    f"{k}={v:.4f}" for k, v in ev.items()))
+                if self.writer is not None:
+                    for k, v in ev.items():
+                        self.writer.add_scalar(f"eval/{k}", v, step)
+
+            if step in tcfg.save_iterations:
+                self.save_gaussians(state, step)
+
+            state = scene.densify(state, step)
+
+            if step in tcfg.checkpoint_iterations:
+                self.save_checkpoint(state, step)
+
+        scene.state = state
+        return state
+
+    # ------------------------------------------------------------------
+    def save_gaussians(self, state, step: int):
+        d = self.gaussian_dir / f"iteration_{step}"
+        d.mkdir(parents=True, exist_ok=True)
+        self.scene.save_gaussians(state, str(d / "point_cloud.ply"))
+        print(f"saved gaussians to {d}")
+
+    def save_checkpoint(self, state, step: int):
+        self.ckpt_dir.mkdir(parents=True, exist_ok=True)
+        leaves, _ = _flatten_state(state)
+        path = self.ckpt_dir / f"ckpt_{step:07d}.npz"
+        np.savez(path, step=step,
+                 **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+        if self.config.trainer.save_only_latest_checkpoint:
+            for p in sorted(self.ckpt_dir.glob("ckpt_*.npz"))[:-1]:
+                p.unlink()
+        print(f"saved checkpoint {path}")
+
+    def _load_checkpoint(self):
+        t = self.config.trainer
+        d = Path(t.load_ckpt_dir)
+        if t.load_ckpt_step is not None:
+            path = d / f"ckpt_{t.load_ckpt_step:07d}.npz"
+        else:
+            cands = sorted(d.glob("ckpt_*.npz"))
+            assert cands, f"no checkpoints in {d}"
+            path = cands[-1]
+        data = np.load(path)
+        self.start_step = int(data["step"])
+        _, treedef = _flatten_state(self.scene.state)
+        n = len([k for k in data.files if k.startswith("leaf_")])
+        leaves = [data[f"leaf_{i}"] for i in range(n)]
+        self.scene.state = jax.tree.unflatten(treedef, leaves)
+        print(f"resumed from {path} at step {self.start_step}")
+
+    def _load_gaussians(self):
+        t = self.config.trainer
+        d = Path(t.load_gaussian_dir)
+        step = t.load_gaussian_step
+        if step is None:
+            iters = [int(p.name.split("_")[-1])
+                     for p in d.glob("iteration_*")]
+            assert iters, f"no saved gaussians in {d}"
+            step = max(iters)
+        path = d / f"iteration_{step}" / "point_cloud.ply"
+        self.scene.state = self.scene.load_gaussians(str(path))
+        print(f"loaded gaussians from {path}")

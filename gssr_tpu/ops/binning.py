@@ -80,6 +80,7 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
                        overflow=num_rendered > instance_cap)
 
     # --- re-scatter into chunk-aligned per-tile ranges -------------------
+    assert instance_cap % chunk == 0, "instance_cap must be chunk-aligned"
     counts = tile_ranges[1:] - tile_ranges[:-1]                  # [T]
     padded_counts = (counts + chunk - 1) // chunk * chunk
     padded_starts = jnp.concatenate(
@@ -87,6 +88,8 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
          jnp.cumsum(padded_counts).astype(jnp.int32)])           # [T+1]
     total_padded = padded_starts[-1]
     overflow = (num_rendered > instance_cap) | (total_padded > instance_cap)
+    # clamp so kernels never address past the buffer even on overflow
+    padded_starts = jnp.minimum(padded_starts, instance_cap)
 
     inst_valid = sorted_tile < num_tiles
     t_c = jnp.minimum(sorted_tile, num_tiles - 1)

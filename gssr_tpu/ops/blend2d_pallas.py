@@ -1,0 +1,502 @@
+"""Pallas TPU surfel (2DGS) blend kernels: forward + analytic backward.
+
+TPU re-design of diff-surfel-rasterization renderCUDA fwd/bwd
+(cuda_rasterizer/forward.cu:261-446, backward.cu:144-448). Same skeleton as
+the vanilla kernels (chunked depth-ordered instances per 16x16 tile,
+attribute-major lane-aligned layout, (PIX, CHUNK) math orientation,
+prefix-product transmittance, two forward-order backward passes) with the
+surfel payload: per-pixel ray-splat intersection through the 3x3 homogeneous
+transform T, min(rho3d, rho2d) low-pass, and the auxiliary channels
+(expected depth, blended normal, median depth, depth distortion).
+
+The distortion backward avoids CUDA's running-accumulator reversal: since
+1 - T_i telescopes to sum_{j<i} w_j, the per-pixel distortion equals the
+pairwise form sum_{j<i} w_i w_j (m_i - m_j)^2, whose gradient needs only the
+totals S0 = sum w, S1 = sum w m, S2 = sum w m^2 — computed in pass 1.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gssr_tpu.ops.binning import Binning
+from gssr_tpu.ops.blend_pallas import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    CHUNK,
+    PIX,
+    T_EPS,
+    _interpret,
+    _pixel_cols,
+    _prefix_prod_excl_lanes,
+    _prefix_sum_lanes,
+    _total_prod_lanes,
+)
+from gssr_tpu.ops.projection import TILE
+
+# attribute rows, layout [NUM_ATTRS2, I]
+A_XY = 0          # 0-1
+A_TU = 2          # 2-4
+A_TV = 5          # 5-7
+A_TW = 8          # 8-10
+A_OP = 11
+A_RGB = 12        # 12-14
+A_NRM = 15        # 15-17
+A_VALID = 18
+NUM_ATTRS2 = 32
+
+# output columns
+O_RGB = 0         # 0-2
+O_T = 3
+O_D = 4
+O_NRM = 5         # 5-7
+O_DIST = 8
+O_MED = 9
+O_SELPOS = 10
+O_MEDNRM = 11     # 11-13
+OUT2_ROWS = 16
+
+NEAR_N = 0.2
+FAR_N = 100.0
+M_COEF = FAR_N / (FAR_N - NEAR_N)
+
+
+def _surfel_alpha(A, px, py):
+    """Per-(pixel, instance) surfel evaluation for one chunk.
+
+    A: (NUM_ATTRS2, CHUNK). Returns (a, aux), a is (PIX, CHUNK).
+    """
+    r = lambda i: A[i:i + 1, :]
+    tw0, tw1, tw2 = r(A_TW), r(A_TW + 1), r(A_TW + 2)
+    tu0, tu1, tu2 = r(A_TU), r(A_TU + 1), r(A_TU + 2)
+    tv0, tv1, tv2 = r(A_TV), r(A_TV + 1), r(A_TV + 2)
+
+    k0 = px * tw0 - tu0                          # (PIX, CHUNK)
+    k1 = px * tw1 - tu1
+    k2 = px * tw2 - tu2
+    l0 = py * tw0 - tv0
+    l1 = py * tw1 - tv1
+    l2 = py * tw2 - tv2
+    p0 = k1 * l2 - k2 * l1
+    p1 = k2 * l0 - k0 * l2
+    p2 = k0 * l1 - k1 * l0
+    pz_ok = p2 != 0.0
+    pz = jnp.where(pz_ok, p2, 1.0)
+    s0 = p0 / pz
+    s1 = p1 / pz
+    rho3d = s0 * s0 + s1 * s1
+    dx = r(A_XY) - px
+    dy = r(A_XY + 1) - py
+    rho2d = 2.0 * (dx * dx + dy * dy)
+    is3d = rho3d <= rho2d
+    rho = jnp.minimum(rho3d, rho2d)
+    depth = jnp.where(is3d, s0 * tw0 + s1 * tw1 + tw2, tw2 + 0.0 * s0)
+    g_exp = jnp.exp(-0.5 * rho)
+    raw = r(A_OP) * g_exp
+    alpha = jnp.minimum(ALPHA_MAX, raw)
+    ok = ((r(A_VALID) > 0.5) & pz_ok & (depth >= NEAR_N)
+          & (alpha >= ALPHA_MIN))
+    a = jnp.where(ok, alpha, 0.0)
+    safe_depth = jnp.maximum(depth, 1e-6)
+    m = M_COEF * (1.0 - NEAR_N / safe_depth)
+    aux = dict(k=(k0, k1, k2), l=(l0, l1, l2), pz=pz, s0=s0, s1=s1,
+               dx=dx, dy=dy, is3d=is3d, depth=depth, safe_depth=safe_depth,
+               m=m, g_exp=g_exp, raw=raw, ok=ok)
+    return a, aux
+
+
+def _fwd2_kernel(tiles_x, ranges_ref, attrs_ref, out_ref,
+                 abuf, acc_ref, state_ref, sem):
+    t = pl.program_id(0)
+    start = pl.multiple_of(ranges_ref[t], CHUNK)
+    end = ranges_ref[t + 1]
+    nchunks = (end - start) // CHUNK
+
+    px, py = _pixel_cols(t, tiles_x)
+    acc_ref[:] = jnp.zeros((PIX, OUT2_ROWS), jnp.float32)
+    acc_ref[:, O_SELPOS:O_SELPOS + 1] = -jnp.ones((PIX, 1), jnp.float32)
+    # state cols: 0 D(all-valid T), 1 Tb(blend T), 2 M1, 3 M2
+    state_ref[:] = jnp.zeros((PIX, 4), jnp.float32)
+    state_ref[:, 0:2] = jnp.ones((PIX, 2), jnp.float32)
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (PIX, CHUNK), 1)
+
+    def body(k, _):
+        alive = jnp.max(state_ref[:, 0]) >= T_EPS
+
+        @pl.when(alive)
+        def _():
+            dma = pltpu.make_async_copy(
+                attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], abuf, sem)
+            dma.start()
+            dma.wait()
+            A = abuf[:, :]
+            a, aux = _surfel_alpha(A, px, py)
+            one_m = 1.0 - a
+            d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
+            d_inc = d_before * one_m
+            contrib = (a > 0.0) & (d_inc >= T_EPS)
+            w = jnp.where(contrib, a * d_before, 0.0)
+
+            depth = aux["depth"]
+            m = aux["m"]
+            wm = w * m
+            # distortion: per-instance prefix accumulators (exclusive)
+            A_bef = 1.0 - d_before
+            M1_bef = state_ref[:, 2:3] + _prefix_sum_lanes(wm, True)
+            M2_bef = state_ref[:, 3:4] + _prefix_sum_lanes(wm * m, True)
+            acc_ref[:, O_DIST:O_DIST + 1] += jnp.sum(
+                (m * m * A_bef + M2_bef - 2.0 * m * M1_bef) * w,
+                axis=1, keepdims=True)
+            acc_ref[:, O_D:O_D + 1] += jnp.sum(w * depth, axis=1,
+                                               keepdims=True)
+            for ci in range(3):
+                acc_ref[:, O_RGB + ci:O_RGB + ci + 1] += jnp.sum(
+                    w * A[A_RGB + ci:A_RGB + ci + 1, :], axis=1,
+                    keepdims=True)
+                acc_ref[:, O_NRM + ci:O_NRM + ci + 1] += jnp.sum(
+                    w * A[A_NRM + ci:A_NRM + ci + 1, :], axis=1,
+                    keepdims=True)
+
+            # median (last contributing instance with blend-T > 0.5)
+            med_mask = contrib & (d_before > 0.5)
+            idx1 = jnp.max(jnp.where(med_mask, gidx + 1, 0), axis=1,
+                           keepdims=True)                       # (PIX, 1)
+            has = idx1 > 0
+            onehot = (gidx + 1) == idx1
+            sel_depth = jnp.sum(jnp.where(onehot, depth, 0.0), axis=1,
+                                keepdims=True)
+            acc_ref[:, O_MED:O_MED + 1] = jnp.where(
+                has, sel_depth, acc_ref[:, O_MED:O_MED + 1])
+            acc_ref[:, O_SELPOS:O_SELPOS + 1] = jnp.where(
+                has, (k * CHUNK + idx1 - 1).astype(jnp.float32),
+                acc_ref[:, O_SELPOS:O_SELPOS + 1])
+            for ci in range(3):
+                sel_n = jnp.sum(
+                    jnp.where(onehot, A[A_NRM + ci:A_NRM + ci + 1, :], 0.0),
+                    axis=1, keepdims=True)
+                acc_ref[:, O_MEDNRM + ci:O_MEDNRM + ci + 1] = jnp.where(
+                    has, sel_n, acc_ref[:, O_MEDNRM + ci:O_MEDNRM + ci + 1])
+
+            state_ref[:, 2:3] += jnp.sum(wm, axis=1, keepdims=True)
+            state_ref[:, 3:4] += jnp.sum(wm * m, axis=1, keepdims=True)
+            state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
+            state_ref[:, 1:2] = state_ref[:, 1:2] * _total_prod_lanes(
+                jnp.where(contrib, one_m, 1.0))
+
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+    acc_ref[:, O_T:O_T + 1] = state_ref[:, 1:2]
+    out_ref[0, :, :] = acc_ref[:, :]
+
+
+def _bwd2_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
+                 abuf, dbuf, state_ref, in_sem, out_sem):
+    t = pl.program_id(0)
+    start = pl.multiple_of(ranges_ref[t], CHUNK)
+    end = ranges_ref[t + 1]
+    nchunks = (end - start) // CHUNK
+
+    px, py = _pixel_cols(t, tiles_x)
+    dC = cot_ref[0, :, O_RGB:O_RGB + 3]          # (PIX, 3)
+    dT = cot_ref[0, :, O_T:O_T + 1]
+    dD = cot_ref[0, :, O_D:O_D + 1]
+    dN = cot_ref[0, :, O_NRM:O_NRM + 3]
+    ddist = cot_ref[0, :, O_DIST:O_DIST + 1]
+    dmed = cot_ref[0, :, O_MED:O_MED + 1]
+    final_T = fwd_ref[0, :, O_T:O_T + 1]
+    sel_pos = fwd_ref[0, :, O_SELPOS:O_SELPOS + 1]
+    gidx = jax.lax.broadcasted_iota(jnp.int32, (PIX, CHUNK), 1)
+
+    def base_of(A, aux):
+        """beta minus the distortion part: dL/dw from the linear channels."""
+        b = aux["depth"] * dD
+        for ci in range(3):
+            b += A[A_RGB + ci:A_RGB + ci + 1, :] * dC[:, ci:ci + 1]
+            b += A[A_NRM + ci:A_NRM + ci + 1, :] * dN[:, ci:ci + 1]
+        return b
+
+    # ---- pass 1: totals S0, S1, S2, total_wbase --------------------------
+    # state cols: 0 D, 1 S0, 2 S1, 3 S2, 4 total_wbase, 5 prefix_wbeta
+    state_ref[:] = jnp.zeros((PIX, 8), jnp.float32)
+    state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
+
+    def pass1(k, _):
+        alive = jnp.max(state_ref[:, 0]) >= T_EPS
+
+        @pl.when(alive)
+        def _():
+            dma = pltpu.make_async_copy(
+                attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], abuf,
+                in_sem)
+            dma.start()
+            dma.wait()
+            A = abuf[:, :]
+            a, aux = _surfel_alpha(A, px, py)
+            one_m = 1.0 - a
+            d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
+            contrib = (a > 0.0) & (d_before * one_m >= T_EPS)
+            w = jnp.where(contrib, a * d_before, 0.0)
+            m = aux["m"]
+            state_ref[:, 1:2] += jnp.sum(w, axis=1, keepdims=True)
+            state_ref[:, 2:3] += jnp.sum(w * m, axis=1, keepdims=True)
+            state_ref[:, 3:4] += jnp.sum(w * m * m, axis=1, keepdims=True)
+            state_ref[:, 4:5] += jnp.sum(w * base_of(A, aux), axis=1,
+                                         keepdims=True)
+            state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
+
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, pass1, 0)
+
+    S0 = state_ref[:, 1:2] + jnp.zeros((PIX, 1), jnp.float32)
+    S1 = state_ref[:, 2:3] + jnp.zeros((PIX, 1), jnp.float32)
+    S2 = state_ref[:, 3:4] + jnp.zeros((PIX, 1), jnp.float32)
+    total_wb = state_ref[:, 4:5] + ddist * 2.0 * (S0 * S2 - S1 * S1)
+    bgterm = final_T * dT
+
+    # ---- pass 2: gradients ----------------------------------------------
+    state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
+    state_ref[:, 5:6] = jnp.zeros((PIX, 1), jnp.float32)
+
+    def pass2(k, _):
+        dma = pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], abuf, in_sem)
+        dma.start()
+        dma.wait()
+        alive = jnp.max(state_ref[:, 0]) >= T_EPS
+
+        @pl.when(alive)
+        def _():
+            A = abuf[:, :]
+            a, aux = _surfel_alpha(A, px, py)
+            one_m = 1.0 - a
+            d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
+            contrib = (a > 0.0) & (d_before * one_m >= T_EPS)
+            w = jnp.where(contrib, a * d_before, 0.0)
+            m = aux["m"]
+            beta = base_of(A, aux) + ddist * (
+                m * m * S0 + S2 - 2.0 * m * S1)
+            wbeta = w * beta
+            prefix_inc = state_ref[:, 5:6] + _prefix_sum_lanes(wbeta, False)
+            suffix = total_wb - prefix_inc
+            inv1ma = 1.0 / one_m
+            da = jnp.where(contrib,
+                           d_before * beta - (suffix + bgterm) * inv1ma, 0.0)
+            unclamped = aux["raw"] < ALPHA_MAX
+            da_eff = jnp.where(aux["ok"] & unclamped, da, 0.0)
+
+            onehot = jnp.where(sel_pos >= 0.0,
+                               (k * CHUNK + gidx).astype(jnp.float32)
+                               == sel_pos, False)
+            dm_dd = M_COEF * NEAR_N / (aux["safe_depth"] ** 2)
+            gdepth = jnp.where(contrib,
+                               w * dD
+                               + ddist * 2.0 * w * (m * S0 - S1) * dm_dd,
+                               0.0)
+            gdepth += jnp.where(onehot, dmed, 0.0)
+
+            # alpha -> rho
+            grho = da_eff * (-0.5) * aux["raw"]
+            is3d = aux["is3d"]
+            g2d = jnp.where(is3d, 0.0, grho)
+            g3d = jnp.where(is3d, grho, 0.0)
+            r = lambda i: A[i:i + 1, :]
+            tw0, tw1 = r(A_TW), r(A_TW + 1)
+            gs0 = g3d * 2.0 * aux["s0"] + jnp.where(is3d, gdepth * tw0, 0.0)
+            gs1 = g3d * 2.0 * aux["s1"] + jnp.where(is3d, gdepth * tw1, 0.0)
+            inv_pz = 1.0 / aux["pz"]
+            gp0 = gs0 * inv_pz
+            gp1 = gs1 * inv_pz
+            gp2 = -(aux["s0"] * gs0 + aux["s1"] * gs1) * inv_pz
+            k0, k1, k2 = aux["k"]
+            l0, l1, l2 = aux["l"]
+            # gk = l x gp ; gl = gp x k
+            gk0 = l1 * gp2 - l2 * gp1
+            gk1 = l2 * gp0 - l0 * gp2
+            gk2 = l0 * gp1 - l1 * gp0
+            gl0 = gp1 * k2 - gp2 * k1
+            gl1 = gp2 * k0 - gp0 * k2
+            gl2 = gp0 * k1 - gp1 * k0
+
+            dbuf[:] = jnp.zeros((NUM_ATTRS2, CHUNK), jnp.float32)
+            dbuf[A_XY:A_XY + 1, :] = jnp.sum(g2d * 4.0 * aux["dx"], axis=0,
+                                             keepdims=True)
+            dbuf[A_XY + 1:A_XY + 2, :] = jnp.sum(g2d * 4.0 * aux["dy"],
+                                                 axis=0, keepdims=True)
+            for i, (gki, gli) in enumerate(((gk0, gl0), (gk1, gl1),
+                                            (gk2, gl2))):
+                dbuf[A_TU + i:A_TU + i + 1, :] = jnp.sum(
+                    -gki, axis=0, keepdims=True)
+                dbuf[A_TV + i:A_TV + i + 1, :] = jnp.sum(
+                    -gli, axis=0, keepdims=True)
+                extra = (gdepth * jnp.where(is3d, aux["s0"], 0.0) if i == 0
+                         else gdepth * jnp.where(is3d, aux["s1"], 0.0)
+                         if i == 1 else gdepth)
+                dbuf[A_TW + i:A_TW + i + 1, :] = jnp.sum(
+                    px * gki + py * gli + extra, axis=0, keepdims=True)
+            dbuf[A_OP:A_OP + 1, :] = jnp.sum(da_eff * aux["g_exp"], axis=0,
+                                             keepdims=True)
+            for ci in range(3):
+                dbuf[A_RGB + ci:A_RGB + ci + 1, :] = jnp.sum(
+                    w * dC[:, ci:ci + 1], axis=0, keepdims=True)
+                dbuf[A_NRM + ci:A_NRM + ci + 1, :] = jnp.sum(
+                    w * dN[:, ci:ci + 1], axis=0, keepdims=True)
+
+            state_ref[:, 5:6] = state_ref[:, 5:6] + jnp.sum(
+                wbeta, axis=1, keepdims=True)
+            state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
+
+        @pl.when(jnp.logical_not(alive))
+        def _():
+            dbuf[:] = jnp.zeros((NUM_ATTRS2, CHUNK), jnp.float32)
+
+        out_dma = pltpu.make_async_copy(
+            dbuf, dattr_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], out_sem)
+        out_dma.start()
+        out_dma.wait()
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, pass2, 0)
+
+
+# ---------------------------------------------------------------------------
+# wrappers + custom VJP
+# ---------------------------------------------------------------------------
+
+def _run_fwd2(attrs, ranges, tiles_x: int, tiles_y: int):
+    num_tiles = tiles_x * tiles_y
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((1, PIX, OUT2_ROWS), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NUM_ATTRS2, CHUNK), jnp.float32),
+            pltpu.VMEM((PIX, OUT2_ROWS), jnp.float32),
+            pltpu.VMEM((PIX, 4), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd2_kernel, tiles_x),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, OUT2_ROWS),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(ranges, attrs)
+
+
+def _run_bwd2(attrs, ranges, fwd_out, cot, tiles_x: int, tiles_y: int):
+    num_tiles = tiles_x * tiles_y
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, PIX, OUT2_ROWS), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, OUT2_ROWS), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((NUM_ATTRS2, CHUNK), jnp.float32),
+            pltpu.VMEM((NUM_ATTRS2, CHUNK), jnp.float32),
+            pltpu.VMEM((PIX, 8), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd2_kernel, tiles_x),
+        out_shape=jax.ShapeDtypeStruct(attrs.shape, jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ranges, attrs, fwd_out, cot)
+
+
+def _tiles_to_rows(out, tiles_x, tiles_y):
+    """[num_tiles, PIX, OUT2_ROWS] -> [H, W, OUT2_ROWS]."""
+    x = out.reshape(tiles_y, tiles_x, TILE, TILE, OUT2_ROWS)
+    x = x.transpose(0, 2, 1, 3, 4)
+    return x.reshape(tiles_y * TILE, tiles_x * TILE, OUT2_ROWS)
+
+
+def _rows_to_tiles(rows, tiles_x, tiles_y):
+    H, W, _ = rows.shape
+    x = rows.reshape(tiles_y, TILE, tiles_x, TILE, OUT2_ROWS)
+    x = x.transpose(0, 2, 1, 3, 4)
+    return x.reshape(tiles_y * tiles_x, PIX, OUT2_ROWS)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _blend2_core(attrs, ranges, tiles_x, tiles_y):
+    out = _run_fwd2(attrs, ranges, tiles_x, tiles_y)
+    return _tiles_to_rows(out, tiles_x, tiles_y)
+
+
+def _blend2_core_fwd(attrs, ranges, tiles_x, tiles_y):
+    out = _run_fwd2(attrs, ranges, tiles_x, tiles_y)
+    return _tiles_to_rows(out, tiles_x, tiles_y), (attrs, ranges, out)
+
+
+def _blend2_core_bwd(tiles_x, tiles_y, res, g_rows):
+    attrs, ranges, fwd_out = res
+    # zero out cotangents of non-differentiable rows (sel_pos, median normal)
+    mask = np.ones((OUT2_ROWS,), np.float32)
+    mask[O_SELPOS] = 0.0
+    mask[O_MEDNRM:O_MEDNRM + 3] = 0.0
+    cot = _rows_to_tiles(g_rows * jnp.asarray(mask), tiles_x, tiles_y)
+    dattrs = _run_bwd2(attrs, ranges, fwd_out, cot, tiles_x, tiles_y)
+    # mask never-written tail slots (see vanilla _blend_core_bwd)
+    dattrs = jnp.where(attrs[A_VALID:A_VALID + 1, :] > 0.5, dattrs, 0.0)
+    return dattrs, np.zeros(ranges.shape, jax.dtypes.float0)
+
+
+_blend2_core.defvjp(_blend2_core_fwd, _blend2_core_bwd)
+
+
+def pack_instance_attrs_2d(mean2d, Tmat, normal, color, opacity,
+                           binning: Binning):
+    gid = binning.gauss_id
+    zero = jnp.zeros_like(opacity[gid])
+    rows = [mean2d[gid, 0], mean2d[gid, 1]]
+    for rr in range(3):
+        rows += [Tmat[gid, rr, 0], Tmat[gid, rr, 1], Tmat[gid, rr, 2]]
+    rows += [opacity[gid]]
+    rows += [color[gid, 0], color[gid, 1], color[gid, 2]]
+    rows += [normal[gid, 0], normal[gid, 1], normal[gid, 2]]
+    rows += [binning.valid.astype(jnp.float32)]
+    rows += [zero] * (NUM_ATTRS2 - len(rows))
+    return jnp.stack(rows, axis=0)
+
+
+class SurfelMaps:
+    """Column-view helper over the blended output [H, W, OUT2_ROWS]."""
+
+    def __init__(self, rows):
+        self.color = rows[..., O_RGB:O_RGB + 3]
+        self.final_T = rows[..., O_T]
+        self.depth_exp = rows[..., O_D]
+        self.normal = rows[..., O_NRM:O_NRM + 3]
+        self.dist = rows[..., O_DIST]
+        self.median_depth = rows[..., O_MED]
+        self.median_normal = rows[..., O_MEDNRM:O_MEDNRM + 3]
+
+
+def blend2d_pallas(mean2d, Tmat, normal, color, opacity, binning: Binning,
+                   width: int, height: int) -> SurfelMaps:
+    assert width % TILE == 0 and height % TILE == 0
+    tiles_x, tiles_y = width // TILE, height // TILE
+    attrs = pack_instance_attrs_2d(mean2d, Tmat, normal, color, opacity,
+                                   binning)
+    rows = _blend2_core(attrs, binning.tile_ranges, tiles_x, tiles_y)
+    return SurfelMaps(rows)

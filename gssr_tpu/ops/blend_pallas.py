@@ -1,0 +1,427 @@
+"""Pallas TPU tile-blend kernels (forward + analytic backward).
+
+TPU re-design of renderCUDA fwd/bwd (diff-gaussian-rasterization/
+cuda_rasterizer/forward.cu:261-374, backward.cu:400-557). Key differences
+from the CUDA scheme, chosen for the TPU execution model:
+
+* One grid program per 16x16 tile; instances are consumed in CHUNK-sized
+  depth-ordered slices DMA'd from HBM. Per-tile ranges are CHUNK-aligned
+  (see binning.bin_gaussians), so every program owns its slices exclusively
+  — backward writes per-instance gradients race-free with plain DMA, where
+  CUDA uses atomicAdd (backward.cu:523-554). Fully deterministic.
+* Data layout is attribute-major [NUM_ATTRS, I]: instance chunks live on
+  the 128-lane axis so every DMA slice is lane-aligned; in-kernel math runs
+  in (PIX, CHUNK) orientation (pixels on sublanes, instances on lanes).
+* The per-pixel sequential front-to-back recurrence becomes a chunk-wide
+  exclusive prefix product of (1 - alpha) along lanes via shift-doubling
+  on the VPU; the T<1e-4 early-stop is exact because transmittance is
+  monotone (the first instance whose inclusion would cross the threshold
+  and everything after it get zero weight — the CUDA 'done' flag).
+* Backward recomputes the forward walk in forward order twice (total-minus-
+  prefix gives the suffix sums) instead of CUDA's back-to-front T division.
+
+The blend is wrapped in jax.custom_vjp; everything upstream (projection,
+SH, instance gather) is differentiated by XLA.
+"""
+from __future__ import annotations
+
+import functools
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gssr_tpu.ops.binning import Binning
+from gssr_tpu.ops.projection import TILE
+
+# instance attribute rows (vanilla payload), layout [NUM_ATTRS, I]
+ATTR_MX, ATTR_MY = 0, 1
+ATTR_CXX, ATTR_CXY, ATTR_CYY = 2, 3, 4
+ATTR_OP = 5
+ATTR_R, ATTR_G, ATTR_B = 6, 7, 8
+ATTR_VALID = 15
+NUM_ATTRS = 16
+
+OUT_ROWS = 8          # 0-2 acc color, 3 final_T (contributing-only product)
+PIX = TILE * TILE     # 256 pixels per tile
+CHUNK = 128           # instances per chunk; binning pads ranges to this
+
+ALPHA_MIN = 1.0 / 255.0
+ALPHA_MAX = 0.99
+T_EPS = 1e-4
+
+
+def _interpret() -> bool:
+    return os.environ.get("GSSR_TPU_INTERPRET", "0") == "1"
+
+
+def _pixel_cols(t, tiles_x):
+    """Pixel centers of tile t as (PIX, 1) float columns (x and y)."""
+    ty = t // tiles_x
+    tx = t % tiles_x
+    sub = jax.lax.broadcasted_iota(jnp.int32, (PIX, 1), 0)
+    px = (tx * TILE + sub % TILE).astype(jnp.float32)
+    py = (ty * TILE + sub // TILE).astype(jnp.float32)
+    return px, py
+
+
+def _prefix_sum_lanes(x, exclusive: bool):
+    """Prefix sum along the lane (instance) axis via log-shift adds.
+
+    Exact f32 on the VPU — deliberately NOT a triangular matmul: the MXU
+    would round inputs to bf16 at default precision.
+    """
+    n = x.shape[1]
+    zeros_col = jnp.zeros_like(x)
+    y = x
+    k = 1
+    while k < n:
+        y = y + jnp.concatenate([zeros_col[:, :k], y[:, : n - k]], axis=1)
+        k *= 2
+    return y - x if exclusive else y
+
+
+def _prefix_prod_excl_lanes(x):
+    """Exclusive prefix product along lanes via shift-doubling multiplies.
+
+    Matches the CUDA sequential T *= (1 - alpha) recurrence to a few ulp
+    without transcendentals (log1p/exp round-tripping costs ~1e-5 absolute,
+    too much for the pixel-grad parity target)."""
+    n = x.shape[1]
+    ones_col = jnp.ones_like(x)
+    y = jnp.concatenate([ones_col[:, :1], x[:, : n - 1]], axis=1)
+    k = 1
+    while k < n:
+        y = y * jnp.concatenate([ones_col[:, :k], y[:, : n - k]], axis=1)
+        k *= 2
+    return y
+
+
+def _total_prod_lanes(x):
+    """Product along lanes as (PIX, 1) — Mosaic lacks reduce_prod."""
+    return _prefix_prod_excl_lanes(x)[:, -1:] * x[:, -1:]
+
+
+def _chunk_alpha(A, px, py):
+    """Per-(pixel, instance) alpha for one chunk.
+
+    A: (NUM_ATTRS, CHUNK) attrs. Returns (a, extras) with a (PIX, CHUNK) —
+    zero wherever the CUDA loop would `continue`.
+    """
+    r = lambda i: A[i:i + 1, :]                 # (1, CHUNK)
+    dx = r(ATTR_MX) - px                        # (PIX, CHUNK)
+    dy = r(ATTR_MY) - py
+    cxx, cxy, cyy = r(ATTR_CXX), r(ATTR_CXY), r(ATTR_CYY)
+    power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
+    g_exp = jnp.exp(power)
+    raw = r(ATTR_OP) * g_exp
+    alpha = jnp.minimum(ALPHA_MAX, raw)
+    ok = (r(ATTR_VALID) > 0.5) & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    a = jnp.where(ok, alpha, 0.0)
+    return a, (dx, dy, g_exp, raw, ok)
+
+
+def _dot_color(A, dacc):
+    """u[p,g] = color_g . dacc_p; dacc is (PIX, 3)."""
+    return (A[ATTR_R:ATTR_R + 1, :] * dacc[:, 0:1]
+            + A[ATTR_G:ATTR_G + 1, :] * dacc[:, 1:2]
+            + A[ATTR_B:ATTR_B + 1, :] * dacc[:, 2:3])
+
+
+# ---------------------------------------------------------------------------
+# Forward kernel
+# ---------------------------------------------------------------------------
+
+def _fwd_kernel(tiles_x, ranges_ref, attrs_ref, out_ref,
+                abuf, acc_ref, state_ref, sem):
+    t = pl.program_id(0)
+    start = pl.multiple_of(ranges_ref[t], CHUNK)
+    end = ranges_ref[t + 1]
+    nchunks = (end - start) // CHUNK
+
+    px, py = _pixel_cols(t, tiles_x)
+    acc_ref[:] = jnp.zeros((PIX, OUT_ROWS), jnp.float32)
+    # state cols: 0 -> D (all-valid transmittance), 1 -> Tb (blended-only)
+    state_ref[:] = jnp.ones((PIX, 2), jnp.float32)
+
+    def body(k, _):
+        alive = jnp.max(state_ref[:, 0]) >= T_EPS
+
+        @pl.when(alive)
+        def _():
+            dma = pltpu.make_async_copy(
+                attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], abuf, sem)
+            dma.start()
+            dma.wait()
+            A = abuf[:, :]
+            a, _extras = _chunk_alpha(A, px, py)
+            one_m = 1.0 - a
+            d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
+            d_inc = d_before * one_m
+            contrib = (a > 0.0) & (d_inc >= T_EPS)
+            w = jnp.where(contrib, a * d_before, 0.0)      # (PIX, CHUNK)
+            for c in range(3):
+                acc_ref[:, c:c + 1] += jnp.sum(
+                    w * A[ATTR_R + c:ATTR_R + c + 1, :],
+                    axis=1, keepdims=True)
+            state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
+            state_ref[:, 1:2] = state_ref[:, 1:2] * _total_prod_lanes(
+                jnp.where(contrib, one_m, 1.0))
+
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+    acc_ref[:, 3:4] = state_ref[:, 1:2]
+    out_ref[0, :, :] = acc_ref[:, :]
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel (two forward-order passes)
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
+                abuf, dbuf, state_ref, in_sem, out_sem):
+    t = pl.program_id(0)
+    start = pl.multiple_of(ranges_ref[t], CHUNK)
+    end = ranges_ref[t + 1]
+    nchunks = (end - start) // CHUNK
+
+    px, py = _pixel_cols(t, tiles_x)
+    dacc = cot_ref[0, :, 0:3]                 # (PIX, 3)
+    dT = cot_ref[0, :, 3:4]                   # (PIX, 1)
+    final_T = fwd_ref[0, :, 3:4]              # (PIX, 1)
+
+    # ---- pass 1: total = sum over contributing instances of w * u --------
+    # state cols: 0 -> D, 1 -> total, 2 -> prefix
+    state_ref[:] = jnp.zeros((PIX, 4), jnp.float32)
+    state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
+
+    def pass1(k, _):
+        alive = jnp.max(state_ref[:, 0]) >= T_EPS
+
+        @pl.when(alive)
+        def _():
+            dma = pltpu.make_async_copy(
+                attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], abuf,
+                in_sem)
+            dma.start()
+            dma.wait()
+            A = abuf[:, :]
+            a, _extras = _chunk_alpha(A, px, py)
+            one_m = 1.0 - a
+            d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
+            contrib = (a > 0.0) & (d_before * one_m >= T_EPS)
+            w = jnp.where(contrib, a * d_before, 0.0)
+            u = _dot_color(A, dacc)                        # (PIX, CHUNK)
+            state_ref[:, 1:2] += jnp.sum(w * u, axis=1, keepdims=True)
+            state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
+
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, pass1, 0)
+
+    # ---- pass 2: per-instance gradients ---------------------------------
+    total = state_ref[:, 1:2] + jnp.zeros((PIX, 1), jnp.float32)
+    state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
+    state_ref[:, 2:3] = jnp.zeros((PIX, 1), jnp.float32)
+    bgterm = final_T * dT                                  # (PIX, 1)
+
+    def pass2(k, _):
+        dma = pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], abuf, in_sem)
+        dma.start()
+        dma.wait()
+        alive = jnp.max(state_ref[:, 0]) >= T_EPS
+
+        @pl.when(alive)
+        def _():
+            A = abuf[:, :]
+            a, (dx, dy, g_exp, raw, ok) = _chunk_alpha(A, px, py)
+            one_m = 1.0 - a
+            d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
+            contrib = (a > 0.0) & (d_before * one_m >= T_EPS)
+            w = jnp.where(contrib, a * d_before, 0.0)
+            u = _dot_color(A, dacc)
+            wu = w * u
+            prefix_inc = state_ref[:, 2:3] + _prefix_sum_lanes(wu, False)
+            suffix = total - prefix_inc                    # (PIX, CHUNK)
+            inv1ma = 1.0 / one_m
+            da = jnp.where(contrib,
+                           d_before * u - (suffix + bgterm) * inv1ma,
+                           0.0)
+            # chain through alpha = min(0.99, op * exp(power))
+            unclamped = raw < ALPHA_MAX
+            da_eff = jnp.where(ok & unclamped, da, 0.0)
+            dpower = da_eff * raw                          # d alpha/d power
+            r = lambda i: A[i:i + 1, :]
+            cxx, cxy, cyy = r(ATTR_CXX), r(ATTR_CXY), r(ATTR_CYY)
+            dbuf[:] = jnp.zeros((NUM_ATTRS, CHUNK), jnp.float32)
+            dbuf[ATTR_MX:ATTR_MX + 1, :] = jnp.sum(
+                dpower * -(cxx * dx + cxy * dy), axis=0, keepdims=True)
+            dbuf[ATTR_MY:ATTR_MY + 1, :] = jnp.sum(
+                dpower * -(cyy * dy + cxy * dx), axis=0, keepdims=True)
+            dbuf[ATTR_CXX:ATTR_CXX + 1, :] = jnp.sum(
+                dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
+            dbuf[ATTR_CXY:ATTR_CXY + 1, :] = jnp.sum(
+                dpower * (-dx * dy), axis=0, keepdims=True)
+            dbuf[ATTR_CYY:ATTR_CYY + 1, :] = jnp.sum(
+                dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
+            dbuf[ATTR_OP:ATTR_OP + 1, :] = jnp.sum(
+                da_eff * g_exp, axis=0, keepdims=True)
+            for c in range(3):
+                dbuf[ATTR_R + c:ATTR_R + c + 1, :] = jnp.sum(
+                    w * dacc[:, c:c + 1], axis=0, keepdims=True)
+            state_ref[:, 2:3] = state_ref[:, 2:3] + jnp.sum(
+                wu, axis=1, keepdims=True)
+            state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
+
+        @pl.when(jnp.logical_not(alive))
+        def _():
+            dbuf[:] = jnp.zeros((NUM_ATTRS, CHUNK), jnp.float32)
+
+        out_dma = pltpu.make_async_copy(
+            dbuf, dattr_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], out_sem)
+        out_dma.start()
+        out_dma.wait()
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, pass2, 0)
+
+
+# ---------------------------------------------------------------------------
+# pallas_call wrappers + custom VJP
+# ---------------------------------------------------------------------------
+
+def _run_fwd(attrs, ranges, tiles_x: int, tiles_y: int):
+    num_tiles = tiles_x * tiles_y
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=pl.BlockSpec((1, PIX, OUT_ROWS), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((NUM_ATTRS, CHUNK), jnp.float32),
+            pltpu.VMEM((PIX, OUT_ROWS), jnp.float32),
+            pltpu.VMEM((PIX, 2), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwd_kernel, tiles_x),
+        out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, OUT_ROWS),
+                                       jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+    )(ranges, attrs)
+
+
+def _run_bwd(attrs, ranges, fwd_out, cot, tiles_x: int, tiles_y: int):
+    num_tiles = tiles_x * tiles_y
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, PIX, OUT_ROWS), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, OUT_ROWS), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((NUM_ATTRS, CHUNK), jnp.float32),
+            pltpu.VMEM((NUM_ATTRS, CHUNK), jnp.float32),
+            pltpu.VMEM((PIX, 4), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwd_kernel, tiles_x),
+        out_shape=jax.ShapeDtypeStruct(attrs.shape, jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ranges, attrs, fwd_out, cot)
+
+
+def _tiles_to_image(out, tiles_x, tiles_y, rows):
+    """[num_tiles, PIX, OUT_ROWS] -> [H, W, rows]."""
+    x = out.reshape(tiles_y, tiles_x, TILE, TILE, OUT_ROWS)
+    x = x.transpose(0, 2, 1, 3, 4)      # ty, py, tx, px, c
+    return x.reshape(tiles_y * TILE, tiles_x * TILE, OUT_ROWS)[..., :rows]
+
+
+def _image_to_tiles(img_rows, tiles_x, tiles_y):
+    """[H, W, OUT_ROWS] -> [num_tiles, PIX, OUT_ROWS]."""
+    H, W, _ = img_rows.shape
+    x = img_rows.reshape(tiles_y, TILE, tiles_x, TILE, OUT_ROWS)
+    x = x.transpose(0, 2, 1, 3, 4)      # ty, tx, py, px, c
+    return x.reshape(tiles_y * tiles_x, PIX, OUT_ROWS)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _blend_core(attrs, ranges, tiles_x, tiles_y):
+    out = _run_fwd(attrs, ranges, tiles_x, tiles_y)
+    img = _tiles_to_image(out, tiles_x, tiles_y, 4)
+    return img[..., :3], img[..., 3]
+
+
+def _blend_core_fwd(attrs, ranges, tiles_x, tiles_y):
+    out = _run_fwd(attrs, ranges, tiles_x, tiles_y)
+    img = _tiles_to_image(out, tiles_x, tiles_y, 4)
+    return (img[..., :3], img[..., 3]), (attrs, ranges, out)
+
+
+def _blend_core_bwd(tiles_x, tiles_y, res, cotangents):
+    attrs, ranges, fwd_out = res
+    d_img, d_T = cotangents
+    H, W = d_img.shape[:2]
+    cot_rows = jnp.concatenate(
+        [d_img, d_T[..., None],
+         jnp.zeros((H, W, OUT_ROWS - 4), jnp.float32)], axis=-1)
+    cot = _image_to_tiles(cot_rows, tiles_x, tiles_y)
+    dattrs = _run_bwd(attrs, ranges, fwd_out, cot, tiles_x, tiles_y)
+    # instance slots past the last tile range are never written by the
+    # kernel; mask by the valid flag so uninitialized memory can't reach
+    # the scatter-add back to gaussians
+    dattrs = jnp.where(attrs[ATTR_VALID:ATTR_VALID + 1, :] > 0.5, dattrs, 0.0)
+    return dattrs, np.zeros(ranges.shape, jax.dtypes.float0)
+
+
+_blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
+
+
+def pack_instance_attrs(mean2d, conic, color, opacity, binning: Binning):
+    """Gather per-gaussian attrs into the sorted-instance layout
+    [NUM_ATTRS, I]. This gather is differentiated by XLA — its VJP is the
+    per-gaussian scatter-add of instance gradients."""
+    gid = binning.gauss_id
+    zero = jnp.zeros_like(opacity[gid])
+    rows = [
+        mean2d[gid, 0], mean2d[gid, 1],
+        conic[gid, 0], conic[gid, 1], conic[gid, 2],
+        opacity[gid],
+        color[gid, 0], color[gid, 1], color[gid, 2],
+        zero, zero, zero, zero, zero, zero,
+        binning.valid.astype(jnp.float32),
+    ]
+    return jnp.stack(rows, axis=0)
+
+
+def blend_pallas(mean2d, conic, color, opacity, binning: Binning,
+                 width: int, height: int, bg):
+    """Blend sorted instances into an image (Pallas path).
+
+    Returns (image [H,W,3] incl. background composite, final_T [H,W]).
+    """
+    assert width % TILE == 0 and height % TILE == 0
+    tiles_x, tiles_y = width // TILE, height // TILE
+    attrs = pack_instance_attrs(mean2d, conic, color, opacity, binning)
+    acc, final_T = _blend_core(attrs, binning.tile_ranges, tiles_x, tiles_y)
+    image = acc + final_T[..., None] * bg
+    return image, final_T

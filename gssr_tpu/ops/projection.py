@@ -38,26 +38,37 @@ def ndc_to_pix(v, size):
     return ((v + 1.0) * size - 1.0) * 0.5
 
 
-def project_points(means3d, w2c, full_proj):
-    """Transform means to view space and NDC->pixel-ready projective coords."""
+def project_points(means3d, w2c, full_proj, valid=None):
+    """Transform means to view space and NDC->pixel-ready projective coords.
+
+    `valid` replaces the homogeneous w of culled points with 1 before the
+    division, so reverse-mode AD never sees an inf intermediate (zero
+    cotangent x inf = nan otherwise).
+    """
     ones = jnp.ones_like(means3d[..., :1])
     hom = jnp.concatenate([means3d, ones], axis=-1)
     p_view = hom @ w2c[:3, :].T                     # [N,3]
     p_hom = hom @ full_proj.T                       # [N,4]
-    p_w = 1.0 / (p_hom[..., 3:4] + 1e-7)
-    p_proj = p_hom[..., :3] * p_w
+    w = p_hom[..., 3:4] + 1e-7
+    if valid is not None:
+        w = jnp.where(valid[..., None], w, 1.0)
+    p_proj = p_hom[..., :3] / w
     return p_view, p_proj
 
 
-def compute_cov2d(means3d, cov3d, w2c, fx, fy, tan_fovx, tan_fovy):
+def compute_cov2d(means3d, cov3d, w2c, fx, fy, tan_fovx, tan_fovy,
+                  valid=None):
     """EWA projection of the 3D covariance (forward.cu:74-113).
 
     cov3d: [N,6] packed (xx,xy,xz,yy,yz,zz). Returns [N,3] (xx,xy,yy) with
-    the +0.3 dilation applied.
+    the +0.3 dilation applied. `valid` sanitizes the view-space z of culled
+    gaussians so no inf/nan leaks into reverse-mode AD (where-grad trap).
     """
     ones = jnp.ones_like(means3d[..., :1])
     t = jnp.concatenate([means3d, ones], axis=-1) @ w2c[:3, :].T
     tz = t[..., 2]
+    if valid is not None:
+        tz = jnp.where(valid, tz, 1.0)
     limx, limy = 1.3 * tan_fovx, 1.3 * tan_fovy
     txtz = jnp.clip(t[..., 0] / tz, -limx, limx) * tz
     tytz = jnp.clip(t[..., 1] / tz, -limy, limy) * tz
@@ -114,22 +125,28 @@ def preprocess(means3d, scales, rotations, camera, width, height,
     visible = depth > NEAR_CULL
     if active_mask is not None:
         visible = visible & active_mask
+    near_ok = visible
 
     cov2d = compute_cov2d(means3d, cov3d, camera.w2c,
                           camera.fx, camera.fy,
-                          camera.tan_fovx, camera.tan_fovy)
+                          camera.tan_fovx, camera.tan_fovy,
+                          valid=near_ok)
     det = cov2d[..., 0] * cov2d[..., 2] - cov2d[..., 1] ** 2
     visible = visible & (det > 0.0)
-    det_safe = jnp.where(det != 0.0, det, 1.0)
+    det_safe = jnp.where(visible, det, 1.0)
     inv_det = 1.0 / det_safe
     conic = jnp.stack([cov2d[..., 2] * inv_det,
                        -cov2d[..., 1] * inv_det,
                        cov2d[..., 0] * inv_det], axis=-1)
+    conic = jnp.where(visible[..., None], conic, 0.0)
 
     mid = 0.5 * (cov2d[..., 0] + cov2d[..., 2])
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lambda1 = mid + disc
     radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 1e-12)))
+    # sanitize culled projections so reverse-mode AD never multiplies an
+    # inf/nan intermediate by a zero cotangent
+    p_proj = jnp.where(near_ok[..., None], p_proj, 0.0)
     mean2d = jnp.stack([ndc_to_pix(p_proj[..., 0], width),
                         ndc_to_pix(p_proj[..., 1], height)], axis=-1)
 

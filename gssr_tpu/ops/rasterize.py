@@ -62,7 +62,8 @@ def rasterize(means3d, scales, rotations, opacity, camera,
               sh_coeffs=None, sh_degree: int = 0, colors_precomp=None,
               active_mask=None, scaling_modifier: float = 1.0,
               instance_cap: int = 1 << 18,
-              backend: str = "pallas") -> RenderOutput:
+              backend: str = "pallas",
+              mean2d_offset=None) -> RenderOutput:
     """Render gaussians through one camera.
 
     Args:
@@ -78,17 +79,27 @@ def rasterize(means3d, scales, rotations, opacity, camera,
     proj = preprocess(means3d, scales, rotations, camera, pw, ph,
                       scaling_modifier=scaling_modifier,
                       active_mask=active_mask)
+    if mean2d_offset is not None:
+        # zero-valued hook so callers can take d(loss)/d(mean2d) for
+        # densification stats (replaces the reference's retain_grad trick,
+        # vanilla_scene.py:114-118)
+        proj = proj._replace(mean2d=proj.mean2d + mean2d_offset)
 
     if colors_precomp is not None:
         color = colors_precomp
     else:
         color = sh_ops.sh_to_color(sh_degree, sh_coeffs, means3d, camera.campos)
 
+    if backend == "pallas":
+        from gssr_tpu.ops.blend_pallas import CHUNK
+        chunk = CHUNK
+    else:
+        chunk = 1
     binning = bin_gaussians(
         jax.lax.stop_gradient(proj.rect),
         jax.lax.stop_gradient(proj.depth),
         jax.lax.stop_gradient(proj.tiles_touched),
-        pw // TILE, ph // TILE, instance_cap)
+        pw // TILE, ph // TILE, instance_cap, chunk=chunk)
 
     opacity = opacity.reshape(-1)
     image, final_T = _blend_dispatch(proj.mean2d, proj.conic, color, opacity,

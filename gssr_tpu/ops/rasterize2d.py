@@ -1,0 +1,98 @@
+"""Differentiable surfel (2DGS) rasterization — public op.
+
+Replaces diff-surfel-rasterization's autograd wrapper
+(diff_surfel_rasterization/__init__.py:86-98): returns color plus the
+unpacked auxiliary maps the TwoDGSScene consumes (reference
+gssr/scene/twodgs_scene.py:88-111) — alpha, world-space normal, expected /
+median / mixed depth, distortion. The derived-map math (normal rotation,
+depth normalization, depth_ratio mix) runs in jnp so XLA autodiffs it; only
+the blend has a custom VJP.
+"""
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from gssr_tpu.ops import sh as sh_ops
+from gssr_tpu.ops.binning import bin_gaussians
+from gssr_tpu.ops.projection import TILE
+from gssr_tpu.ops.projection2d import preprocess_2d
+from gssr_tpu.ops.rasterize import pad_to_tiles
+
+
+class Render2DOutput(NamedTuple):
+    image: jnp.ndarray          # [H,W,3] with bg composite
+    final_T: jnp.ndarray        # [H,W]
+    alpha: jnp.ndarray          # [H,W]
+    normal: jnp.ndarray         # [H,W,3] world-space blended normal
+    depth_expected: jnp.ndarray  # [H,W] alpha-normalized expected depth
+    median_depth: jnp.ndarray   # [H,W]
+    surf_depth: jnp.ndarray     # [H,W] depth_ratio mix
+    dist: jnp.ndarray           # [H,W] distortion map
+    radii: jnp.ndarray          # [N]
+    mean2d: jnp.ndarray         # [N,2]
+    num_rendered: jnp.ndarray
+    overflow: jnp.ndarray
+
+
+def rasterize_2d(means3d, scales2, rotations, opacity, camera,
+                 width: int, height: int, bg,
+                 sh_coeffs=None, sh_degree: int = 0, colors_precomp=None,
+                 active_mask=None, scaling_modifier: float = 1.0,
+                 instance_cap: int = 1 << 18, backend: str = "pallas",
+                 depth_ratio: float = 0.0,
+                 mean2d_offset=None) -> Render2DOutput:
+    pw, ph = pad_to_tiles(width, height)
+    proj = preprocess_2d(means3d, scales2, rotations, camera, pw, ph,
+                         scaling_modifier=scaling_modifier,
+                         active_mask=active_mask)
+    if mean2d_offset is not None:
+        proj = proj._replace(mean2d=proj.mean2d + mean2d_offset)
+
+    if colors_precomp is not None:
+        color = colors_precomp
+    else:
+        color = sh_ops.sh_to_color(sh_degree, sh_coeffs, means3d, camera.campos)
+
+    chunk = 1
+    if backend == "pallas":
+        from gssr_tpu.ops.blend2d_pallas import CHUNK as chunk
+    binning = bin_gaussians(
+        jax.lax.stop_gradient(proj.rect),
+        jax.lax.stop_gradient(proj.depth),
+        jax.lax.stop_gradient(proj.tiles_touched),
+        pw // TILE, ph // TILE, instance_cap, chunk=chunk)
+
+    opacity = opacity.reshape(-1)
+    if backend == "pallas":
+        from gssr_tpu.ops.blend2d_pallas import blend2d_pallas
+        maps = blend2d_pallas(proj.mean2d, proj.Tmat, proj.normal, color,
+                              opacity, binning, pw, ph)
+    elif backend == "reference":
+        from gssr_tpu.ops.blend2d_ref import blend2d_reference
+        maps = blend2d_reference(proj.mean2d, proj.Tmat, proj.normal, color,
+                                 opacity, binning.gauss_id, binning.tile_of,
+                                 pw, ph)
+    else:
+        raise ValueError(f"unknown backend {backend!r}")
+
+    crop = lambda x: x[:height, :width]
+    final_T = crop(maps.final_T)
+    alpha = 1.0 - final_T
+    image = crop(maps.color) + final_T[..., None] * jnp.asarray(bg)
+    # view -> world normal rotation (twodgs_scene.py:99-101)
+    normal_world = crop(maps.normal) @ camera.w2c[:3, :3]
+    alpha_safe = jnp.where(alpha > 1e-6, alpha, 1.0)
+    depth_expected = jnp.where(alpha > 1e-6,
+                               crop(maps.depth_exp) / alpha_safe, 0.0)
+    median_depth = jnp.nan_to_num(crop(maps.median_depth), 0.0)
+    surf_depth = (depth_expected * (1.0 - depth_ratio)
+                  + depth_ratio * median_depth)
+    return Render2DOutput(
+        image=image, final_T=final_T, alpha=alpha, normal=normal_world,
+        depth_expected=depth_expected, median_depth=median_depth,
+        surf_depth=surf_depth, dist=crop(maps.dist),
+        radii=proj.radius, mean2d=proj.mean2d,
+        num_rendered=binning.num_rendered, overflow=binning.overflow)

@@ -1,0 +1,41 @@
+"""Octree-GS + 2DGS: LOD neural gaussians rendered as surfels.
+
+Parity: /root/reference/gssr/scene/octree_2dgs_scene.py (MRO combo of
+TwoDGSScene and OctreeScene).
+"""
+from __future__ import annotations
+
+import dataclasses
+
+from gssr_tpu.ops.rasterize2d import rasterize_2d
+from gssr_tpu.scene.octree import OctreeScene, OctreeSceneConfig
+from gssr_tpu.scene.twodgs import surfel_reg_losses
+
+
+@dataclasses.dataclass
+class Octree2DGSSceneConfig(OctreeSceneConfig):
+    lambda_dist: float = 0.0
+    lambda_normal: float = 0.05
+    depth_ratio: float = 0.0
+
+
+class Octree2DGSScene(OctreeScene):
+    config: Octree2DGSSceneConfig
+
+    def _rasterize_neural(self, ng, camera, bg, mean2d_offset):
+        return rasterize_2d(
+            ng.xyz, ng.scaling[:, :2], ng.rotation, ng.opacity, camera,
+            self.width, self.height, bg,
+            colors_precomp=ng.color, active_mask=ng.mask,
+            scaling_modifier=self.config.scaling_modifier,
+            instance_cap=self.config.instance_cap,
+            backend=self.config.backend,
+            depth_ratio=self.config.depth_ratio,
+            mean2d_offset=mean2d_offset)
+
+    def extra_losses(self, ng, out, step, camera):
+        terms = surfel_reg_losses(out, camera, step,
+                                  self.config.lambda_normal,
+                                  self.config.lambda_dist)
+        terms["scaling_loss"] = self.scaling_loss(ng, dims=2)
+        return terms

@@ -1,0 +1,199 @@
+"""Scaffold-GS scene: anchor prefilter + neural-gaussian decode + render.
+
+Parity: /root/reference/gssr/scene/scaffold_scene.py — anchor visibility
+prefilter (the scaffold-filter CUDA extension becomes the vanilla jnp
+preprocess radius test), view-dependent MLP decode, scaling regularization.
+The decode + render + losses + Adam form one jitted step.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from dataclasses import field
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gssr_tpu.configs.base import DataLoaderConfig
+from gssr_tpu.dataio.dataset import ColmapDataLoader
+from gssr_tpu.models.scaffold import (
+    ScaffoldGaussianConfig,
+    ScaffoldGaussians,
+    ScaffoldState,
+)
+from gssr_tpu.ops.projection import preprocess
+from gssr_tpu.ops.rasterize import pad_to_tiles, rasterize
+from gssr_tpu.ops.ssim import l1_loss, psnr, ssim
+from gssr_tpu.scene.vanilla import VanillaScene, VanillaSceneConfig
+
+
+@dataclasses.dataclass
+class ScaffoldSceneConfig(VanillaSceneConfig):
+    gaussians: ScaffoldGaussianConfig = field(
+        default_factory=ScaffoldGaussianConfig)
+    lambda_scaling: float = 0.01
+
+
+class ScaffoldScene(VanillaScene):
+    config: ScaffoldSceneConfig
+
+    def make_gaussians(self):
+        return ScaffoldGaussians(
+            self.config.gaussians, spatial_lr_scale=self.cameras_extent,
+            num_cameras=len(self.dataloader.train_cameras))
+
+    def init_state(self) -> ScaffoldState:
+        pcd = self.dataloader.point_cloud
+        return self.gaussians.create_from_points(pcd.points)
+
+    # ------------------------------------------------------------------
+    def prefilter_anchors(self, anchors, active, camera):
+        """scaffold-filter visible_filter equivalent: run the vanilla
+        preprocess on anchors (first 3 scaling cols) and test radius>0
+        (scaffold_scene.py:122-155)."""
+        pw, ph = pad_to_tiles(self.width, self.height)
+        g = self.gaussians
+        proj = preprocess(anchors.anchor, jnp.exp(anchors.scaling[:, :3]),
+                          g.get_rotation(anchors), camera, pw, ph,
+                          scaling_modifier=self.config.scaling_modifier,
+                          active_mask=active)
+        return proj.radius > 0
+
+    def decode_and_render(self, anchors, mlp, camera, cam_uid, visible,
+                          active, bg, mean2d_offset=None,
+                          level_scale_gate=None):
+        g = self.gaussians
+        ng = g.decode(anchors, mlp, camera.campos, cam_uid, visible, active,
+                      level_scale_gate=level_scale_gate)
+        out = self._rasterize_neural(ng, camera, bg, mean2d_offset)
+        return ng, out
+
+    def _rasterize_neural(self, ng, camera, bg, mean2d_offset):
+        return rasterize(
+            ng.xyz, ng.scaling, ng.rotation, ng.opacity, camera,
+            self.width, self.height, bg,
+            colors_precomp=ng.color, active_mask=ng.mask,
+            scaling_modifier=self.config.scaling_modifier,
+            instance_cap=self.config.instance_cap,
+            backend=self.config.backend,
+            mean2d_offset=mean2d_offset)
+
+    def extra_losses(self, ng, out, step, camera) -> Dict[str, jnp.ndarray]:
+        return {"scaling_loss": self.scaling_loss(ng)}
+
+    def scaling_loss(self, ng, dims: int = 3):
+        """lambda_scaling * mean over selected gaussians of prod(scaling)
+        (scaffold_scene.py:182-185); masked mean replaces compaction."""
+        prod = jnp.prod(ng.scaling[:, :dims], axis=-1)
+        cnt = jnp.maximum(jnp.sum(ng.mask.astype(jnp.float32)), 1.0)
+        return (self.config.lambda_scaling
+                * jnp.sum(jnp.where(ng.mask, prod, 0.0)) / cnt)
+
+    def anchor_level_gate(self, state, camera, step, is_training=True):
+        """Octree hook: per-anchor (visibility extra-mask, opacity gate)."""
+        return None, None
+
+    # ------------------------------------------------------------------
+    def _train_step(self, sh_degree, state: ScaffoldState, camera, cam_uid,
+                    gt, bg, step):
+        g = self.gaussians
+        cfg = self.config.gaussians
+        extra_mask, gate = self.anchor_level_gate(state, camera, step)
+        visible = self.prefilter_anchors(state.anchors, state.active, camera)
+        if extra_mask is not None:
+            visible = visible & extra_mask
+        visible = jax.lax.stop_gradient(visible)
+
+        K = cfg.n_offsets
+        CAK = state.anchors.offset.shape[0] * K
+
+        def loss_fn(anchors, mlp, m2d_offset):
+            ng, out = self.decode_and_render(
+                anchors, mlp, camera, cam_uid, visible, state.active, bg,
+                mean2d_offset=m2d_offset, level_scale_gate=gate)
+            lam = self.config.lambda_dssim
+            terms = {
+                "L1_loss": (1.0 - lam) * l1_loss(out.image, gt),
+                "ssim_loss": lam * (1.0 - ssim(out.image, gt)),
+            }
+            terms.update(self.extra_losses(ng, out, step, camera))
+            return sum(terms.values()), (out, ng, terms)
+
+        zeros2d = jnp.zeros((CAK, 2), jnp.float32)
+        (loss, (out, ng, terms)), (ga, gm, m2d_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                state.anchors, state.mlp, zeros2d)
+
+        a_lrs, m_lrs = g.learning_rates(step)
+        new_anchors, adam_a = g.adam_step(state.anchors, ga,
+                                          state.adam_anchor, a_lrs)
+        new_mlp, adam_m = g.adam_step(state.mlp, gm, state.adam_mlp, m_lrs)
+
+        in_window = (step > cfg.start_stat) & (step < cfg.densify_until_iter)
+        upd_stats = g.update_stats(state.stats, ng.neural_opacity, ng.mask,
+                                   out.radii, m2d_grad, visible, state.active)
+        stats = jax.tree.map(
+            lambda new, old: jnp.where(in_window, new, old),
+            upd_stats, state.stats)
+
+        new_state = state._replace(anchors=new_anchors, mlp=new_mlp,
+                                   adam_anchor=adam_a, adam_mlp=adam_m,
+                                   stats=stats)
+        metrics = dict(terms)
+        metrics["loss"] = loss
+        metrics["num_rendered"] = out.num_rendered
+        metrics["overflow"] = out.overflow
+        return new_state, metrics
+
+    def train_step(self, state, camera, step: int):
+        fn = self._jit_cache.get("train")
+        if fn is None:
+            fn = jax.jit(functools.partial(self._train_step, 0),
+                         donate_argnums=(0,))
+            self._jit_cache["train"] = fn
+        bg = self.get_background(step)
+        gt = jnp.asarray(camera.image, jnp.float32)
+        return fn(state, camera.arrays(), jnp.asarray(camera.uid),
+                  gt, bg, jnp.asarray(step, jnp.float32))
+
+    # ------------------------------------------------------------------
+    def densify(self, state: ScaffoldState, step: int) -> ScaffoldState:
+        cfg = self.config.gaussians
+        if (cfg.densify_from_iter < step < cfg.densify_until_iter
+                and step % cfg.densification_interval == 0):
+            fn = self._jit_cache.get("densify")
+            if fn is None:
+                fn = jax.jit(functools.partial(
+                    self.gaussians.adjust_anchor,
+                    voxel_size=self.gaussians.voxel_size),
+                    donate_argnums=(0,))
+                self._jit_cache["densify"] = fn
+            self.key, k = jax.random.split(self.key)
+            state = fn(state, k)
+        return state
+
+    # ------------------------------------------------------------------
+    def eval_render(self, state: ScaffoldState, camera, step: int):
+        fn = self._jit_cache.get("eval")
+        if fn is None:
+            def _eval(st, cam, cam_uid, bg):
+                extra_mask, gate = self.anchor_level_gate(
+                    st, cam, jnp.asarray(0.0), is_training=False)
+                visible = self.prefilter_anchors(st.anchors, st.active, cam)
+                if extra_mask is not None:
+                    visible = visible & extra_mask
+                _, out = self.decode_and_render(
+                    st.anchors, st.mlp, cam, cam_uid, visible, st.active, bg,
+                    level_scale_gate=gate)
+                return out
+            fn = jax.jit(_eval)
+            self._jit_cache["eval"] = fn
+        return fn(state, camera.arrays(), jnp.asarray(camera.uid),
+                  self.background)
+
+    def save_gaussians(self, state: ScaffoldState, path: str):
+        self.gaussians.save_ply(state, path)
+        self.gaussians.save_mlp_checkpoints(
+            state, path.replace(".ply", "_mlp.npz"))

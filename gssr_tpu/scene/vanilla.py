@@ -1,0 +1,188 @@
+"""Vanilla 3DGS scene: render + L1/DSSIM losses + jitted train step.
+
+Parity: /root/reference/gssr/scene/vanilla_scene.py (losses, render wiring)
+and the per-step protocol of engine/trainer.py:88-133. TPU re-design: the
+whole step — render forward, losses, backward through the Pallas blend,
+densification statistics, Adam update — is one jitted, donated function;
+densification/opacity-reset are separate jitted ops on their schedule.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from dataclasses import field
+from typing import Dict, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gssr_tpu.cameras import Camera, CameraArrays
+from gssr_tpu.configs.base import DataLoaderConfig
+from gssr_tpu.dataio.dataset import ColmapDataLoader
+from gssr_tpu.models.vanilla import (
+    GaussianState,
+    VanillaGaussianConfig,
+    VanillaGaussians,
+)
+from gssr_tpu.ops.rasterize import rasterize
+from gssr_tpu.ops.ssim import l1_loss, psnr, ssim
+
+
+@dataclasses.dataclass
+class VanillaSceneConfig:
+    dataloader: DataLoaderConfig = field(default_factory=DataLoaderConfig)
+    gaussians: VanillaGaussianConfig = field(
+        default_factory=VanillaGaussianConfig)
+    lambda_dssim: float = 0.2
+    random_background: bool = False
+    scaling_modifier: float = 1.0
+    instance_cap: int = 1 << 20
+    backend: str = "pallas"
+
+
+class VanillaScene:
+    config: VanillaSceneConfig
+
+    def __init__(self, config: VanillaSceneConfig, source_dir: str,
+                 eval: bool = False, seed: int = 0,
+                 dataloader: Optional[ColmapDataLoader] = None):
+        self.config = config
+        self.dataloader = dataloader or ColmapDataLoader(
+            config.dataloader, source_dir, eval, seed=seed)
+        self.cameras_extent = self.dataloader.cameras_extent
+        self.background = jnp.asarray(self.dataloader.background)
+        self.gaussians = self.make_gaussians()
+        self.state = self.init_state()
+        cam0 = self.dataloader.train_cameras[0]
+        self.width, self.height = cam0.width, cam0.height
+        self.key = jax.random.PRNGKey(seed)
+        self._jit_cache: Dict = {}
+
+    # ------------------------------------------------------------------
+    def make_gaussians(self) -> VanillaGaussians:
+        return VanillaGaussians(self.config.gaussians,
+                                spatial_lr_scale=self.cameras_extent)
+
+    def init_state(self) -> GaussianState:
+        pcd = self.dataloader.point_cloud
+        return self.gaussians.create_from_points(pcd.points, pcd.colors)
+
+    # ------------------------------------------------------------------
+    def render_params(self, params, camera: CameraArrays, sh_degree: int,
+                      active, bg, mean2d_offset=None):
+        g = self.gaussians
+        return rasterize(
+            params.xyz, g.get_scaling(params), g.get_rotation(params),
+            g.get_opacity(params)[:, 0], camera,
+            self.width, self.height, bg,
+            sh_coeffs=g.get_features(params), sh_degree=sh_degree,
+            active_mask=active,
+            scaling_modifier=self.config.scaling_modifier,
+            instance_cap=self.config.instance_cap,
+            backend=self.config.backend,
+            mean2d_offset=mean2d_offset)
+
+    def loss_terms(self, out, gt, camera_extra=None, step=None):
+        """Method-specific losses; subclasses override/extend."""
+        lam = self.config.lambda_dssim
+        return {
+            "L1_loss": (1.0 - lam) * l1_loss(out.image, gt),
+            "ssim_loss": lam * (1.0 - ssim(out.image, gt)),
+        }
+
+    # ------------------------------------------------------------------
+    def _train_step(self, sh_degree: int, state: GaussianState,
+                    camera: CameraArrays, gt, bg, step):
+        g = self.gaussians
+
+        def loss_fn(params, m2d_offset):
+            out = self.render_params(params, camera, sh_degree,
+                                     state.active, bg,
+                                     mean2d_offset=m2d_offset)
+            terms = self.loss_terms(out, gt, step=step)
+            return sum(terms.values()), (out, terms)
+
+        zeros2d = jnp.zeros_like(state.params.xyz[:, :2])
+        (loss, (out, terms)), (pgrads, m2d_grad) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1), has_aux=True)(state.params, zeros2d)
+
+        lrs = g.learning_rates(step)
+        new_params, new_adam = g.adam_step(state.params, pgrads,
+                                           state.adam, lrs)
+        new_stats = g.update_stats(state.stats, out.radii, m2d_grad)
+        new_state = state._replace(params=new_params, adam=new_adam,
+                                   stats=new_stats)
+        metrics = dict(terms)
+        metrics["loss"] = loss
+        metrics["num_rendered"] = out.num_rendered
+        metrics["overflow"] = out.overflow
+        return new_state, metrics
+
+    def train_step(self, state: GaussianState, camera: Camera, step: int):
+        """Python-side wrapper: picks the static SH degree, feeds arrays."""
+        sh_degree = self.gaussians.active_sh_degree(step)
+        fn = self._jit_cache.get(("train", sh_degree))
+        if fn is None:
+            fn = jax.jit(functools.partial(self._train_step, sh_degree),
+                         donate_argnums=(0,))
+            self._jit_cache[("train", sh_degree)] = fn
+        bg = self.get_background(step)
+        gt = jnp.asarray(camera.image, jnp.float32)
+        return fn(state, camera.arrays(), gt, bg,
+                  jnp.asarray(step, jnp.float32))
+
+    def get_background(self, step):
+        if self.config.random_background:
+            self.key, k = jax.random.split(self.key)
+            return jax.random.uniform(k, (3,))
+        return self.background
+
+    # ------------------------------------------------------------------
+    def densify(self, state: GaussianState, step: int) -> GaussianState:
+        cfg = self.config.gaussians
+        if step >= cfg.densify_until_iter:
+            return state
+        if step > cfg.densify_from_iter and \
+                step % cfg.densification_interval == 0:
+            fn = self._jit_cache.get("densify")
+            if fn is None:
+                fn = jax.jit(self.gaussians.densify_and_prune,
+                             donate_argnums=(0,))
+                self._jit_cache["densify"] = fn
+            self.key, k = jax.random.split(self.key)
+            use_size_prune = jnp.asarray(
+                step > cfg.opacity_reset_interval)
+            state = fn(state, k, use_size_prune)
+        if step % cfg.opacity_reset_interval == 0:
+            fn = self._jit_cache.get("reset_opacity")
+            if fn is None:
+                fn = jax.jit(self.gaussians.reset_opacity, donate_argnums=(0,))
+                self._jit_cache["reset_opacity"] = fn
+            state = fn(state)
+        return state
+
+    # ------------------------------------------------------------------
+    def eval_render(self, state: GaussianState, camera: Camera, step: int):
+        sh_degree = self.gaussians.active_sh_degree(step)
+        fn = self._jit_cache.get(("eval", sh_degree))
+        if fn is None:
+            def _eval(params, active, cam, bg):
+                return self.render_params(params, cam, sh_degree, active, bg)
+            fn = jax.jit(_eval)
+            self._jit_cache[("eval", sh_degree)] = fn
+        return fn(state.params, state.active, camera.arrays(), self.background)
+
+    def evaluate(self, state: GaussianState, step: int) -> Dict[str, float]:
+        cams = self.dataloader.test_cameras or self.dataloader.train_cameras[:8]
+        l1s, psnrs = [], []
+        for cam in cams:
+            out = self.eval_render(state, cam, step)
+            gt = jnp.asarray(cam.image, jnp.float32)
+            l1s.append(float(l1_loss(out.image, gt)))
+            psnrs.append(float(psnr(out.image, gt)))
+        return {"eval_l1": float(np.mean(l1s)),
+                "eval_psnr": float(np.mean(psnrs))}
+
+    def save_gaussians(self, state: GaussianState, path: str):
+        self.gaussians.save_ply(state, path)

@@ -16,15 +16,32 @@ def make_camera(w=64, h=64, fov_deg=60.0):
                   width=w, height=h)
 
 
-def render(means, scales, rots, opac, colors, cam, w=64, h=64,
-           bg=(0.0, 0.0, 0.0), **kw):
+import functools
+
+
+@functools.lru_cache(maxsize=32)
+def _render_fn(w, h, masked):
     from gssr_tpu.ops.rasterize import rasterize
-    return rasterize(
-        jnp.asarray(means, jnp.float32), jnp.asarray(scales, jnp.float32),
+
+    @functools.partial(jax.jit, static_argnums=())
+    def fn(means, scales, rots, opac, colors, cam_arrays, bg, active):
+        return rasterize(means, scales, rots, opac, cam_arrays, w, h, bg,
+                         colors_precomp=colors, backend="reference",
+                         active_mask=active if masked else None,
+                         instance_cap=1024)
+    return fn
+
+
+def render(means, scales, rots, opac, colors, cam, w=64, h=64,
+           bg=(0.0, 0.0, 0.0), active_mask=None):
+    means = jnp.asarray(means, jnp.float32)
+    active = (jnp.ones(means.shape[0], bool) if active_mask is None
+              else active_mask)
+    return _render_fn(w, h, active_mask is not None)(
+        means, jnp.asarray(scales, jnp.float32),
         jnp.asarray(rots, jnp.float32), jnp.asarray(opac, jnp.float32),
-        cam.arrays(), w, h, jnp.asarray(bg, jnp.float32),
-        colors_precomp=jnp.asarray(colors, jnp.float32),
-        backend="reference", instance_cap=4096, **kw)
+        jnp.asarray(colors, jnp.float32), cam.arrays(),
+        jnp.asarray(bg, jnp.float32), active)
 
 
 def test_single_gaussian_center():

@@ -1,0 +1,34 @@
+#!/usr/bin/env python
+"""Train a gaussian-splatting method on a COLMAP scene.
+
+Parity: /root/reference/train.py. Usage:
+    python train.py 3dgs --source-path /data/scene --output-path ./out
+"""
+from __future__ import annotations
+
+import random
+
+import numpy as np
+
+from gssr_tpu.configs.base import Config
+from gssr_tpu.configs.cli import parse_config
+from gssr_tpu.engine.trainer import Trainer
+
+
+def main(config: Config):
+    config.set_timestamp()
+    random.seed(config.machine.seed)
+    np.random.seed(config.machine.seed)
+    config.save_config()
+    trainer = Trainer(config)
+    trainer.setup()
+    trainer.train()
+    return trainer
+
+
+def entrypoint():
+    main(parse_config())
+
+
+if __name__ == "__main__":
+    entrypoint()
