@@ -1,0 +1,78 @@
+#!/usr/bin/env python
+"""Extract a TSDF-fused mesh from a trained scene.
+
+Parity: /root/reference/extract_mesh.py. Usage:
+    python extract_mesh.py --load-config <run_dir>/config.yml \
+        [--iteration N] [--unbounded] [--voxel-size V] [--depth-trunc D]
+"""
+from __future__ import annotations
+
+import argparse
+import os
+from pathlib import Path
+
+import numpy as np
+
+
+def eval_setup(config_path: str, iteration=None):
+    """yaml -> Config -> scene + load saved gaussians
+    (reference extract_mesh.eval_setup, :19-60)."""
+    from gssr_tpu.configs.base import load_config_yaml
+    from gssr_tpu.configs.methods import build_scene
+    config = load_config_yaml(config_path)
+    # artifacts live next to the config file regardless of原 output_path
+    run_dir = Path(config_path).parent
+    scene = build_scene(config)
+    gdir = run_dir / config.trainer.relative_gaussian_dir
+    iters = [int(p.name.split("_")[-1]) for p in gdir.glob("iteration_*")]
+    assert iters, f"no saved gaussians under {gdir}"
+    it = iteration or max(iters)
+    ply = gdir / f"iteration_{it}" / "point_cloud.ply"
+    scene.state = scene.load_gaussians(str(ply))
+    return config, scene, run_dir, it
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--load-config", required=True)
+    ap.add_argument("--iteration", type=int, default=None)
+    ap.add_argument("--voxel-size", type=float, default=0.004)
+    ap.add_argument("--sdf-trunc", type=float, default=0.02)
+    ap.add_argument("--depth-trunc", type=float, default=3.0)
+    ap.add_argument("--resolution", type=int, default=512)
+    ap.add_argument("--unbounded", action="store_true")
+    ap.add_argument("--num-cluster", type=int, default=1)
+    ap.add_argument("--alpha-thres", type=float, default=0.5)
+    ap.add_argument("--skip-images", action="store_true")
+    args = ap.parse_args()
+
+    from gssr_tpu.utils.mesh_extract import GaussianExtractor, write_mesh_ply
+    from gssr_tpu.utils.mtet import keep_largest_clusters
+
+    config, scene, run_dir, it = eval_setup(args.load_config, args.iteration)
+    out_dir = run_dir / f"mesh_{it}"
+    out_dir.mkdir(parents=True, exist_ok=True)
+
+    extractor = GaussianExtractor(scene, scene.state)
+    print(f"rendering {len(scene.dataloader.train_cameras)} cameras ...")
+    extractor.reconstruction(scene.dataloader.train_cameras)
+    if not args.skip_images:
+        extractor.export_images(str(out_dir))
+
+    if args.unbounded:
+        verts, faces = extractor.extract_mesh_unbounded(
+            args.resolution, alpha_thres=args.alpha_thres)
+    else:
+        verts, faces = extractor.extract_mesh_bounded(
+            voxel_size=args.voxel_size, sdf_trunc=args.sdf_trunc,
+            depth_trunc=args.depth_trunc, alpha_thres=args.alpha_thres)
+    print(f"raw mesh: {len(verts)} verts, {len(faces)} faces")
+    if args.num_cluster > 0 and len(faces):
+        verts, faces = keep_largest_clusters(verts, faces, args.num_cluster)
+    mesh_path = out_dir / "fused_mesh.ply"
+    write_mesh_ply(str(mesh_path), np.asarray(verts), np.asarray(faces))
+    print(f"saved {mesh_path} ({len(verts)} verts, {len(faces)} faces)")
+
+
+if __name__ == "__main__":
+    main()

@@ -50,8 +50,15 @@ def _set_path(obj, path: str, value: str):
         raise AttributeError(
             f"config has no field {path!r} (failed at {leaf!r} "
             f"on {type(target).__name__})")
-    fields = {f.name: f for f in dataclasses.fields(target)}
-    typ = fields[leaf].type if leaf in fields else type(getattr(target, leaf))
+    try:
+        import typing
+        hints = typing.get_type_hints(type(target))
+    except Exception:
+        hints = {}
+    if leaf in hints:
+        typ = hints[leaf]
+    else:
+        typ = type(getattr(target, leaf))
     new_val = _coerce(value, typ)
     # frozen dataclasses (gaussian configs) rebuild up the chain
     node = target

@@ -463,3 +463,26 @@ class OctreeGaussians(ScaffoldGaussians):
         for i in range(4):
             cols[f"rot_{i}"] = an.rotation[:, i]
         write_ply(path, {k: v.astype(np.float32) for k, v in cols.items()})
+
+    def load_ply(self, path: str, capacity=None, seed: int = 0):
+        """Load the octree PLY schema; restores levels and the voxel/dist
+        metadata smuggled in the info column."""
+        from gssr_tpu.dataio.ply import read_ply
+        cols = read_ply(path)
+        n = len(cols["x"])
+        if n > 0:
+            self.voxel_size = float(cols["info"][0])
+        if n > 1:
+            self.standard_dist = float(cols["info"][1])
+        levels_np = cols["level"].astype(np.int32)
+        if self.levels <= 0:
+            self.levels = int(levels_np.max()) + 1 if n else 1
+        base = ScaffoldGaussians.load_ply(self, path, capacity=capacity,
+                                          seed=seed)
+        cap = base.anchors.anchor.shape[0]
+        lv = np.zeros(cap, np.int32)
+        lv[:n] = levels_np
+        ex = np.zeros(cap, np.float32)
+        ex[:n] = cols["extra_level"]
+        return OctreeState(*base, level=jnp.asarray(lv),
+                           extra_level=jnp.asarray(ex))

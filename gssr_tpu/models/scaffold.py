@@ -561,7 +561,10 @@ class ScaffoldGaussians:
             out[:n] = a
             return jnp.asarray(out)
 
-        base = self.create_from_points(anchor, capacity=cap, seed=seed)
+        # explicit class call: octree subclass's create_from_points needs
+        # cameras, but PLY loading rebuilds the base state directly
+        base = ScaffoldGaussians.create_from_points(self, anchor,
+                                                    capacity=cap, seed=seed)
         anchors = AnchorParams(
             anchor=alloc(anchor), offset=alloc(off), feat=alloc(feat),
             scaling=alloc(scaling, fill=-10.0), rotation=alloc(rot, fill=1.0),

@@ -87,8 +87,9 @@ def _surfel_alpha(A, px, py):
     p2 = k0 * l1 - k1 * l0
     pz_ok = p2 != 0.0
     pz = jnp.where(pz_ok, p2, 1.0)
-    s0 = p0 / pz
-    s1 = p1 / pz
+    # clamped: degenerate splats otherwise blow up the backward chain
+    s0 = jnp.clip(p0 / pz, -1e4, 1e4)
+    s1 = jnp.clip(p1 / pz, -1e4, 1e4)
     rho3d = s0 * s0 + s1 * s1
     dx = r(A_XY) - px
     dy = r(A_XY + 1) - py

@@ -56,8 +56,11 @@ def blend2d_reference(mean2d, Tmat, normal, color, opacity, gauss_id, tile_of,
         p = jnp.cross(kx, ly)
         pz_ok = p[..., 2] != 0.0
         pz = jnp.where(pz_ok, p[..., 2], 1.0)
-        sx = p[..., 0] / pz
-        sy = p[..., 1] / pz
+        # clamp the intersection coords: degenerate splats give s ~ inf,
+        # whose backward is 0-cotangent * inf = nan (alpha is 0 out there
+        # anyway — rho > 1e4 is far past the 3-sigma cutoff)
+        sx = jnp.clip(p[..., 0] / pz, -1e4, 1e4)
+        sy = jnp.clip(p[..., 1] / pz, -1e4, 1e4)
         rho3d = sx * sx + sy * sy
         dx = xy[0] - pxf
         dy = xy[1] - pyf

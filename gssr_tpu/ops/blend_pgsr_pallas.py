@@ -1,0 +1,398 @@
+"""Pallas TPU planar (PGSR) blend kernels: forward + analytic backward.
+
+TPU re-design of diff-plane-rasterization renderCUDA fwd/bwd
+(cuda_rasterizer/forward.cu:280-405, backward.cu:400-603). Same skeleton as
+the vanilla kernels with the planar payload:
+
+* 4 extra blended channels — camera-space normal (3) and plane distance —
+  the reference's 5-channel all_map; its constant-1 channel equals 1-T and
+  is not blended separately.
+* per-pixel plane depth (distance / -(n . ray + 1e-8), forward.cu:403-405)
+  is computed OUTSIDE the kernel in jnp from the blended maps, so XLA
+  autodiff replaces the CUDA hand-written plane-depth backward
+  (backward.cu:471-484).
+* out_observe (pixels with blend-T > 0.5 per gaussian, forward.cu:380-383)
+  is a per-instance forward output, segment-summed outside.
+* abs screen-gradients (backward.cu:602-603) are written to dedicated attr
+  rows whose gather-VJP scatter-adds them onto a zero dummy input — the
+  JAX equivalent of the reference's means2D_abs retain_grad trick.
+"""
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from gssr_tpu.ops.binning import Binning
+from gssr_tpu.ops.blend_pallas import (
+    ALPHA_MAX,
+    ALPHA_MIN,
+    CHUNK,
+    PIX,
+    T_EPS,
+    _interpret,
+    _pixel_cols,
+    _prefix_prod_excl_lanes,
+    _prefix_sum_lanes,
+    _total_prod_lanes,
+)
+from gssr_tpu.ops.projection import TILE
+
+# attribute rows, layout [NUM_ATTRS_P, I]
+P_MX, P_MY = 0, 1
+P_CXX, P_CXY, P_CYY = 2, 3, 4
+P_OP = 5
+P_RGB = 6         # 6-8
+P_NRM = 9         # 9-11 camera-space normal
+P_DIST = 12       # plane distance
+P_VALID = 13
+P_ABSX, P_ABSY = 14, 15   # zero inputs; bwd writes |mean2d grad| here
+NUM_ATTRS_P = 16
+
+# output columns
+PO_RGB = 0        # 0-2
+PO_T = 3
+PO_NRM = 4        # 4-6
+PO_DIST = 7
+OUTP_ROWS = 8
+
+OBS_ROWS = 8      # observe output sublane padding; row 0 used
+
+
+def _chunk_alpha_p(A, px, py):
+    r = lambda i: A[i:i + 1, :]
+    dx = r(P_MX) - px
+    dy = r(P_MY) - py
+    cxx, cxy, cyy = r(P_CXX), r(P_CXY), r(P_CYY)
+    power = -0.5 * (cxx * dx * dx + cyy * dy * dy) - cxy * dx * dy
+    g_exp = jnp.exp(power)
+    raw = r(P_OP) * g_exp
+    alpha = jnp.minimum(ALPHA_MAX, raw)
+    ok = (r(P_VALID) > 0.5) & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    a = jnp.where(ok, alpha, 0.0)
+    return a, (dx, dy, g_exp, raw, ok)
+
+
+def _fwdp_kernel(tiles_x, ranges_ref, attrs_ref, out_ref, obs_ref,
+                 abuf, obuf, acc_ref, state_ref, sem, obs_sem):
+    t = pl.program_id(0)
+    start = pl.multiple_of(ranges_ref[t], CHUNK)
+    end = ranges_ref[t + 1]
+    nchunks = (end - start) // CHUNK
+
+    px, py = _pixel_cols(t, tiles_x)
+    acc_ref[:] = jnp.zeros((PIX, OUTP_ROWS), jnp.float32)
+    state_ref[:] = jnp.ones((PIX, 2), jnp.float32)
+
+    def body(k, _):
+        dma = pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], abuf, sem)
+        dma.start()
+        dma.wait()
+        alive = jnp.max(state_ref[:, 0]) >= T_EPS
+
+        @pl.when(alive)
+        def _():
+            A = abuf[:, :]
+            a, _extras = _chunk_alpha_p(A, px, py)
+            one_m = 1.0 - a
+            d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
+            d_inc = d_before * one_m
+            contrib = (a > 0.0) & (d_inc >= T_EPS)
+            w = jnp.where(contrib, a * d_before, 0.0)
+            for c in range(3):
+                acc_ref[:, PO_RGB + c:PO_RGB + c + 1] += jnp.sum(
+                    w * A[P_RGB + c:P_RGB + c + 1, :], axis=1, keepdims=True)
+                acc_ref[:, PO_NRM + c:PO_NRM + c + 1] += jnp.sum(
+                    w * A[P_NRM + c:P_NRM + c + 1, :], axis=1, keepdims=True)
+            acc_ref[:, PO_DIST:PO_DIST + 1] += jnp.sum(
+                w * A[P_DIST:P_DIST + 1, :], axis=1, keepdims=True)
+            # out_observe: pixels whose blend-T before this gaussian > 0.5
+            obuf[:] = jnp.zeros((OBS_ROWS, CHUNK), jnp.float32)
+            obuf[0:1, :] = jnp.sum(
+                jnp.where(contrib & (d_before > 0.5), 1.0, 0.0),
+                axis=0, keepdims=True)
+            state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
+            state_ref[:, 1:2] = state_ref[:, 1:2] * _total_prod_lanes(
+                jnp.where(contrib, one_m, 1.0))
+
+        @pl.when(jnp.logical_not(alive))
+        def _():
+            obuf[:] = jnp.zeros((OBS_ROWS, CHUNK), jnp.float32)
+
+        obs_dma = pltpu.make_async_copy(
+            obuf, obs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], obs_sem)
+        obs_dma.start()
+        obs_dma.wait()
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, body, 0)
+    acc_ref[:, PO_T:PO_T + 1] = state_ref[:, 1:2]
+    out_ref[0, :, :] = acc_ref[:, :]
+
+
+def _bwdp_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
+                 abuf, dbuf, state_ref, in_sem, out_sem):
+    t = pl.program_id(0)
+    start = pl.multiple_of(ranges_ref[t], CHUNK)
+    end = ranges_ref[t + 1]
+    nchunks = (end - start) // CHUNK
+
+    px, py = _pixel_cols(t, tiles_x)
+    dC = cot_ref[0, :, PO_RGB:PO_RGB + 3]       # (PIX, 3)
+    dT = cot_ref[0, :, PO_T:PO_T + 1]
+    dN = cot_ref[0, :, PO_NRM:PO_NRM + 3]
+    dDist = cot_ref[0, :, PO_DIST:PO_DIST + 1]
+    final_T = fwd_ref[0, :, PO_T:PO_T + 1]
+
+    def u_of(A):
+        u = A[P_DIST:P_DIST + 1, :] * dDist
+        for c in range(3):
+            u += A[P_RGB + c:P_RGB + c + 1, :] * dC[:, c:c + 1]
+            u += A[P_NRM + c:P_NRM + c + 1, :] * dN[:, c:c + 1]
+        return u
+
+    # ---- pass 1: total = sum contrib w * u -------------------------------
+    state_ref[:] = jnp.zeros((PIX, 4), jnp.float32)
+    state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
+
+    def pass1(k, _):
+        alive = jnp.max(state_ref[:, 0]) >= T_EPS
+
+        @pl.when(alive)
+        def _():
+            dma = pltpu.make_async_copy(
+                attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], abuf,
+                in_sem)
+            dma.start()
+            dma.wait()
+            A = abuf[:, :]
+            a, _extras = _chunk_alpha_p(A, px, py)
+            one_m = 1.0 - a
+            d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
+            contrib = (a > 0.0) & (d_before * one_m >= T_EPS)
+            w = jnp.where(contrib, a * d_before, 0.0)
+            state_ref[:, 1:2] += jnp.sum(w * u_of(A), axis=1, keepdims=True)
+            state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
+
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, pass1, 0)
+
+    total = state_ref[:, 1:2] + jnp.zeros((PIX, 1), jnp.float32)
+    state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
+    state_ref[:, 2:3] = jnp.zeros((PIX, 1), jnp.float32)
+    bgterm = final_T * dT
+
+    def pass2(k, _):
+        dma = pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], abuf, in_sem)
+        dma.start()
+        dma.wait()
+        alive = jnp.max(state_ref[:, 0]) >= T_EPS
+
+        @pl.when(alive)
+        def _():
+            A = abuf[:, :]
+            a, (dx, dy, g_exp, raw, ok) = _chunk_alpha_p(A, px, py)
+            one_m = 1.0 - a
+            d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
+            contrib = (a > 0.0) & (d_before * one_m >= T_EPS)
+            w = jnp.where(contrib, a * d_before, 0.0)
+            u = u_of(A)
+            wu = w * u
+            prefix_inc = state_ref[:, 2:3] + _prefix_sum_lanes(wu, False)
+            suffix = total - prefix_inc
+            inv1ma = 1.0 / one_m
+            da = jnp.where(contrib,
+                           d_before * u - (suffix + bgterm) * inv1ma, 0.0)
+            unclamped = raw < ALPHA_MAX
+            da_eff = jnp.where(ok & unclamped, da, 0.0)
+            dpower = da_eff * raw
+            r = lambda i: A[i:i + 1, :]
+            cxx, cxy, cyy = r(P_CXX), r(P_CXY), r(P_CYY)
+            gx = dpower * -(cxx * dx + cxy * dy)
+            gy = dpower * -(cyy * dy + cxy * dx)
+            dbuf[:] = jnp.zeros((NUM_ATTRS_P, CHUNK), jnp.float32)
+            dbuf[P_MX:P_MX + 1, :] = jnp.sum(gx, axis=0, keepdims=True)
+            dbuf[P_MY:P_MY + 1, :] = jnp.sum(gy, axis=0, keepdims=True)
+            # abs screen-space gradients (backward.cu:602-603)
+            dbuf[P_ABSX:P_ABSX + 1, :] = jnp.sum(jnp.abs(gx), axis=0,
+                                                 keepdims=True)
+            dbuf[P_ABSY:P_ABSY + 1, :] = jnp.sum(jnp.abs(gy), axis=0,
+                                                 keepdims=True)
+            dbuf[P_CXX:P_CXX + 1, :] = jnp.sum(dpower * (-0.5 * dx * dx),
+                                               axis=0, keepdims=True)
+            dbuf[P_CXY:P_CXY + 1, :] = jnp.sum(dpower * (-dx * dy),
+                                               axis=0, keepdims=True)
+            dbuf[P_CYY:P_CYY + 1, :] = jnp.sum(dpower * (-0.5 * dy * dy),
+                                               axis=0, keepdims=True)
+            dbuf[P_OP:P_OP + 1, :] = jnp.sum(da_eff * g_exp, axis=0,
+                                             keepdims=True)
+            for c in range(3):
+                dbuf[P_RGB + c:P_RGB + c + 1, :] = jnp.sum(
+                    w * dC[:, c:c + 1], axis=0, keepdims=True)
+                dbuf[P_NRM + c:P_NRM + c + 1, :] = jnp.sum(
+                    w * dN[:, c:c + 1], axis=0, keepdims=True)
+            dbuf[P_DIST:P_DIST + 1, :] = jnp.sum(w * dDist, axis=0,
+                                                 keepdims=True)
+            state_ref[:, 2:3] = state_ref[:, 2:3] + jnp.sum(
+                wu, axis=1, keepdims=True)
+            state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
+
+        @pl.when(jnp.logical_not(alive))
+        def _():
+            dbuf[:] = jnp.zeros((NUM_ATTRS_P, CHUNK), jnp.float32)
+
+        out_dma = pltpu.make_async_copy(
+            dbuf, dattr_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], out_sem)
+        out_dma.start()
+        out_dma.wait()
+        return 0
+
+    jax.lax.fori_loop(0, nchunks, pass2, 0)
+
+
+# ---------------------------------------------------------------------------
+# wrappers + custom VJP
+# ---------------------------------------------------------------------------
+
+def _run_fwdp(attrs, ranges, tiles_x: int, tiles_y: int):
+    num_tiles = tiles_x * tiles_y
+    I = attrs.shape[1]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        out_specs=(
+            pl.BlockSpec((1, PIX, OUTP_ROWS), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.HBM),
+        ),
+        scratch_shapes=[
+            pltpu.VMEM((NUM_ATTRS_P, CHUNK), jnp.float32),
+            pltpu.VMEM((OBS_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((PIX, OUTP_ROWS), jnp.float32),
+            pltpu.VMEM((PIX, 2), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_fwdp_kernel, tiles_x),
+        out_shape=(
+            jax.ShapeDtypeStruct((num_tiles, PIX, OUTP_ROWS), jnp.float32),
+            jax.ShapeDtypeStruct((OBS_ROWS, I), jnp.float32),
+        ),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ranges, attrs)
+
+
+def _run_bwdp(attrs, ranges, fwd_out, cot, tiles_x: int, tiles_y: int):
+    num_tiles = tiles_x * tiles_y
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(num_tiles,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, PIX, OUTP_ROWS), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, PIX, OUTP_ROWS), lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+        scratch_shapes=[
+            pltpu.VMEM((NUM_ATTRS_P, CHUNK), jnp.float32),
+            pltpu.VMEM((NUM_ATTRS_P, CHUNK), jnp.float32),
+            pltpu.VMEM((PIX, 4), jnp.float32),
+            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA(()),
+        ],
+    )
+    return pl.pallas_call(
+        functools.partial(_bwdp_kernel, tiles_x),
+        out_shape=jax.ShapeDtypeStruct(attrs.shape, jnp.float32),
+        grid_spec=grid_spec,
+        interpret=_interpret(),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+    )(ranges, attrs, fwd_out, cot)
+
+
+def _tiles_to_rows(out, tiles_x, tiles_y):
+    x = out.reshape(tiles_y, tiles_x, TILE, TILE, OUTP_ROWS)
+    x = x.transpose(0, 2, 1, 3, 4)
+    return x.reshape(tiles_y * TILE, tiles_x * TILE, OUTP_ROWS)
+
+
+def _rows_to_tiles(rows, tiles_x, tiles_y):
+    H, W, _ = rows.shape
+    x = rows.reshape(tiles_y, TILE, tiles_x, TILE, OUTP_ROWS)
+    x = x.transpose(0, 2, 1, 3, 4)
+    return x.reshape(tiles_y * tiles_x, PIX, OUTP_ROWS)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
+def _blendp_core(attrs, ranges, tiles_x, tiles_y):
+    out, obs = _run_fwdp(attrs, ranges, tiles_x, tiles_y)
+    return _tiles_to_rows(out, tiles_x, tiles_y), obs
+
+
+def _blendp_core_fwd(attrs, ranges, tiles_x, tiles_y):
+    out, obs = _run_fwdp(attrs, ranges, tiles_x, tiles_y)
+    return (_tiles_to_rows(out, tiles_x, tiles_y), obs), \
+        (attrs, ranges, out)
+
+
+def _blendp_core_bwd(tiles_x, tiles_y, res, cotangents):
+    attrs, ranges, fwd_out = res
+    g_rows, _g_obs = cotangents            # observe output: no gradient
+    cot = _rows_to_tiles(g_rows, tiles_x, tiles_y)
+    dattrs = _run_bwdp(attrs, ranges, fwd_out, cot, tiles_x, tiles_y)
+    dattrs = jnp.where(attrs[P_VALID:P_VALID + 1, :] > 0.5, dattrs, 0.0)
+    return dattrs, np.zeros(ranges.shape, jax.dtypes.float0)
+
+
+_blendp_core.defvjp(_blendp_core_fwd, _blendp_core_bwd)
+
+
+def pack_instance_attrs_pgsr(mean2d, conic, color, opacity, normal, distance,
+                             abs_dummy, binning: Binning):
+    """abs_dummy: [N,2] zeros — its gather VJP receives the abs grads."""
+    gid = binning.gauss_id
+    rows = [
+        mean2d[gid, 0], mean2d[gid, 1],
+        conic[gid, 0], conic[gid, 1], conic[gid, 2],
+        opacity[gid],
+        color[gid, 0], color[gid, 1], color[gid, 2],
+        normal[gid, 0], normal[gid, 1], normal[gid, 2],
+        distance[gid],
+        binning.valid.astype(jnp.float32),
+        abs_dummy[gid, 0], abs_dummy[gid, 1],
+    ]
+    return jnp.stack(rows, axis=0)
+
+
+class PlanarMaps:
+    def __init__(self, rows, observe_inst):
+        self.color = rows[..., PO_RGB:PO_RGB + 3]
+        self.final_T = rows[..., PO_T]
+        self.normal = rows[..., PO_NRM:PO_NRM + 3]
+        self.distance = rows[..., PO_DIST]
+        self.observe_inst = observe_inst     # [OBS_ROWS, I], row 0
+
+
+def blend_pgsr_pallas(mean2d, conic, color, opacity, normal, distance,
+                      abs_dummy, binning: Binning,
+                      width: int, height: int) -> PlanarMaps:
+    assert width % TILE == 0 and height % TILE == 0
+    tiles_x, tiles_y = width // TILE, height // TILE
+    attrs = pack_instance_attrs_pgsr(mean2d, conic, color, opacity, normal,
+                                     distance, abs_dummy, binning)
+    rows, obs = _blendp_core(attrs, binning.tile_ranges, tiles_x, tiles_y)
+    return PlanarMaps(rows, obs)

@@ -1,0 +1,101 @@
+"""Image sampling / patch warp / NCC primitives for PGSR losses (pure jnp).
+
+Parity: the torch helpers in the reference — grid_sample-based patch
+sampling, homography warp (graphics_utils.patch_offsets/patch_warp),
+local NCC (pgsr_scene.lncc), morphological erode, and the image-gradient
+weighting (pgsr_scene._get_img_grad_weight).
+"""
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+
+def bilinear_sample(img, xy, align_corners: bool = True):
+    """Sample img [H,W] (or [H,W,C]) at pixel coords xy [...,2] with border
+    clamp — matches F.grid_sample(align_corners=True, padding='border')
+    after the reference's [-1,1] normalization round trip."""
+    H, W = img.shape[:2]
+    x = jnp.clip(xy[..., 0], 0.0, W - 1.0)
+    y = jnp.clip(xy[..., 1], 0.0, H - 1.0)
+    x0 = jnp.floor(x)
+    y0 = jnp.floor(y)
+    x1 = jnp.minimum(x0 + 1, W - 1.0)
+    y1 = jnp.minimum(y0 + 1, H - 1.0)
+    wx = x - x0
+    wy = y - y0
+    x0i, x1i = x0.astype(jnp.int32), x1.astype(jnp.int32)
+    y0i, y1i = y0.astype(jnp.int32), y1.astype(jnp.int32)
+
+    def g(yi, xi):
+        return img[yi, xi]
+
+    v00, v01 = g(y0i, x0i), g(y0i, x1i)
+    v10, v11 = g(y1i, x0i), g(y1i, x1i)
+    if img.ndim == 3:
+        wx = wx[..., None]
+        wy = wy[..., None]
+    return ((1 - wy) * ((1 - wx) * v00 + wx * v01)
+            + wy * ((1 - wx) * v10 + wx * v11))
+
+
+def patch_offsets(half: int):
+    """[(2h+1)^2, 2] integer offsets (graphics_utils.patch_offsets)."""
+    r = jnp.arange(-half, half + 1, dtype=jnp.float32)
+    oy, ox = jnp.meshgrid(r, r)
+    return jnp.stack([oy, ox], axis=-1).reshape(-1, 2)[:, ::-1]
+
+
+def patch_warp(Hmat, uv):
+    """Apply per-sample homographies. Hmat [N,3,3], uv [N,P,2] -> [N,P,2]."""
+    ones = jnp.ones_like(uv[..., :1])
+    homo = jnp.concatenate([uv, ones], axis=-1)       # [N,P,3]
+    out = jnp.einsum("nij,npj->npi", Hmat, homo)
+    return out[..., :2] / (out[..., 2:] + 1e-10)
+
+
+def lncc(ref, nea):
+    """Local NCC over flattened patches. ref/nea: [N, P]. Returns
+    (ncc [N], mask [N]) — ncc clamped to [0,2], mask = ncc < 0.9
+    (pgsr_scene.lncc)."""
+    P = ref.shape[-1]
+    ref_sum = jnp.sum(ref, axis=-1)
+    nea_sum = jnp.sum(nea, axis=-1)
+    ref2_sum = jnp.sum(ref * ref, axis=-1)
+    nea2_sum = jnp.sum(nea * nea, axis=-1)
+    ref_nea_sum = jnp.sum(ref * nea, axis=-1)
+    ref_avg = ref_sum / P
+    nea_avg = nea_sum / P
+    cross = ref_nea_sum - nea_avg * ref_sum
+    ref_var = ref2_sum - ref_avg * ref_sum
+    nea_var = nea2_sum - nea_avg * nea_sum
+    cc = cross * cross / (ref_var * nea_var + 1e-8)
+    ncc = jnp.clip(1.0 - cc, 0.0, 2.0)
+    return ncc, ncc < 0.9
+
+
+def dilate(img, ksize: int = 5):
+    """Max-pool dilation with reflect padding. img: [H,W]."""
+    pad = (ksize - 1) // 2
+    x = jnp.pad(img, pad, mode="reflect")
+    return jax.lax.reduce_window(
+        x, -jnp.inf, jax.lax.max, (ksize, ksize), (1, 1), "VALID")
+
+
+def erode(img, ksize: int = 5):
+    return 1.0 - dilate(1.0 - img, ksize)
+
+
+def image_grad_weight(img):
+    """Normalized max |central difference| per pixel, border=1
+    (pgsr_scene._get_img_grad_weight). img: [H,W,C] -> [H,W]."""
+    gx = jnp.mean(jnp.abs(img[1:-1, 2:] - img[1:-1, :-2]), axis=-1)
+    gy = jnp.mean(jnp.abs(img[:-2, 1:-1] - img[2:, 1:-1]), axis=-1)
+    g = jnp.maximum(gx, gy)
+    g = (g - g.min()) / (g.max() - g.min() + 1e-12)
+    return jnp.pad(g, 1, constant_values=1.0)
+
+
+def rgb_to_gray(img):
+    """torchvision Grayscale weights (ITU-R 601-2)."""
+    return (0.299 * img[..., 0] + 0.587 * img[..., 1] + 0.114 * img[..., 2])

@@ -1,0 +1,324 @@
+"""PGSR scene: planar rasterization + multi-view geometric regularization.
+
+Parity: /root/reference/gssr/scene/pgsr_scene.py — single-view normal loss
+weighted by image gradients (after step 7000), multi-view reprojection geo
+loss and homography-warped patch NCC against a sampled neighbor camera, abs
+screen-gradient statistics, and the plane-depth -> normal chain.
+
+TPU re-design: two jitted step variants (single-camera before step 7000,
+two-camera after) instead of data-dependent control flow; the NCC pixel
+sample is a static-size random subset with validity masking instead of the
+reference's dynamic valid-index sampling.
+"""
+from __future__ import annotations
+
+import dataclasses
+import functools
+from dataclasses import field
+from typing import Dict
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from gssr_tpu.models.pgsr import PGSRGaussianConfig, PGSRGaussians
+from gssr_tpu.ops.rasterize_pgsr import rasterize_pgsr
+from gssr_tpu.ops.sampling import (
+    bilinear_sample,
+    erode,
+    image_grad_weight,
+    lncc,
+    patch_offsets,
+    patch_warp,
+    rgb_to_gray,
+)
+from gssr_tpu.ops.ssim import l1_loss, ssim
+from gssr_tpu.scene.vanilla import VanillaScene, VanillaSceneConfig
+
+
+@dataclasses.dataclass
+class PGSRSceneConfig(VanillaSceneConfig):
+    gaussians: PGSRGaussianConfig = field(default_factory=PGSRGaussianConfig)
+    lambda_normal: float = 0.015
+    lambda_ncc: float = 0.15
+    lambda_geo: float = 0.03
+    patch_size: int = 3
+    num_sample: int = 102400
+    pixel_noise_threshold: float = 1.0
+    num_multi_view: int = 5
+    multi_view_from: int = 7000
+
+
+class PGSRScene(VanillaScene):
+    config: PGSRSceneConfig
+
+    def __init__(self, config, source_dir, eval=False, seed=0,
+                 dataloader=None):
+        super().__init__(config, source_dir, eval, seed, dataloader)
+        from gssr_tpu.dataio.view_selection import assign_near_ids
+        try:
+            assign_near_ids(self.dataloader.train_cameras, source_dir,
+                            num_views=config.num_multi_view)
+        except FileNotFoundError:
+            pass
+        self.extra_stats = self.gaussians.init_extra_stats(
+            self.state.params.xyz.shape[0])
+
+    def make_gaussians(self):
+        return PGSRGaussians(self.config.gaussians,
+                             spatial_lr_scale=self.cameras_extent)
+
+    # ------------------------------------------------------------------
+    def render_pgsr(self, params, camera, sh_degree, active, bg,
+                    m2d=None, m2d_abs=None):
+        g = self.gaussians
+        return rasterize_pgsr(
+            params.xyz, g.get_scaling(params), g.get_rotation(params),
+            g.get_opacity(params)[:, 0], camera, self.width, self.height, bg,
+            sh_coeffs=g.get_features(params), sh_degree=sh_degree,
+            active_mask=active,
+            scaling_modifier=self.config.scaling_modifier,
+            instance_cap=self.config.instance_cap,
+            backend=self.config.backend,
+            mean2d_offset=m2d, mean2d_abs_offset=m2d_abs)
+
+    def depth_normal(self, plane_depth, alpha, camera):
+        """Unprojected-depth normal scaled by detached alpha
+        (pgsr_scene.render_normal + depth_normal)."""
+        from gssr_tpu.scene.twodgs import surf_normal_from_depth
+        # reference computes the normal from camera-space points; the world
+        # unprojection differs only by a rigid transform, which cross
+        # products carry through up to rotation — use camera-space points
+        # to match (normal_from_depth_image works in cam space).
+        H, W = plane_depth.shape
+        xs = (jnp.arange(W, dtype=jnp.float32) - camera.cx) / camera.fx
+        ys = (jnp.arange(H, dtype=jnp.float32) - camera.cy) / camera.fy
+        gx, gy = jnp.meshgrid(xs, ys)
+        pts = jnp.stack([gx * plane_depth, gy * plane_depth, plane_depth],
+                        axis=-1)
+        dv = pts[2:, 1:-1] - pts[:-2, 1:-1]
+        dh = pts[1:-1, 2:] - pts[1:-1, :-2]
+        nrm = jnp.cross(dh, dv)
+        nrm = nrm * jax.lax.rsqrt(
+            jnp.sum(nrm * nrm, axis=-1, keepdims=True) + 1e-12)
+        nrm = jnp.pad(nrm, ((1, 1), (1, 1), (0, 0)))
+        return nrm * jax.lax.stop_gradient(alpha)[..., None]
+
+    # ------------------------------------------------------------------
+    def _multi_view_losses(self, out, near_out, camera, near_cam,
+                           gt_gray, near_gray, key):
+        cfg = self.config
+        H, W = out.plane_depth.shape
+        HW = H * W
+
+        # reprojection consistency (pgsr_scene.py:115-150)
+        xs = (jnp.arange(W, dtype=jnp.float32) - camera.cx) / camera.fx
+        ys = (jnp.arange(H, dtype=jnp.float32) - camera.cy) / camera.fy
+        gx, gy = jnp.meshgrid(xs, ys)
+        rays = jnp.stack([gx, gy, jnp.ones_like(gx)], -1)      # [H,W,3]
+        pts_cam = rays * out.plane_depth[..., None]
+        c2w_R = camera.w2c[:3, :3].T
+        campos = camera.campos
+        pts_world = pts_cam.reshape(-1, 3) @ c2w_R.T + campos
+        pts_near = (pts_world @ near_cam.w2c[:3, :3].T
+                    + near_cam.w2c[:3, 3])
+
+        zn = pts_near[:, 2]
+        px_near = pts_near[:, 0] * near_cam.fx / jnp.where(
+            zn != 0, zn, 1.0) + near_cam.cx
+        py_near = pts_near[:, 1] * near_cam.fy / jnp.where(
+            zn != 0, zn, 1.0) + near_cam.cy
+        in_bounds = ((px_near > 0) & (px_near < W) & (py_near > 0)
+                     & (py_near < H) & (zn > 0.1))
+        map_z = bilinear_sample(near_out.plane_depth,
+                                jnp.stack([px_near, py_near], -1))
+        pts_near_unit = pts_near / jnp.where(zn[:, None] != 0,
+                                             zn[:, None], 1.0)
+        pts_near_re = pts_near_unit * map_z[:, None]
+        pts_world_re = ((pts_near_re - near_cam.w2c[:3, 3])
+                        @ near_cam.w2c[:3, :3])
+        pts_view = pts_world_re @ camera.w2c[:3, :3].T + camera.w2c[:3, 3]
+        zv = pts_view[:, 2]
+        proj_x = pts_view[:, 0] * camera.fx / jnp.where(zv != 0, zv, 1.0) \
+            + camera.cx
+        proj_y = pts_view[:, 1] * camera.fy / jnp.where(zv != 0, zv, 1.0) \
+            + camera.cy
+        ix, iy = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
+                              jnp.arange(H, dtype=jnp.float32))
+        pix = jnp.stack([ix, iy], -1).reshape(-1, 2)
+        noise = jnp.linalg.norm(
+            jnp.stack([proj_x, proj_y], -1) - pix, axis=-1)
+        d_mask = in_bounds & (noise < cfg.pixel_noise_threshold)
+        weights = jax.lax.stop_gradient(jnp.exp(-noise))
+        weights = jnp.where(d_mask, weights, 0.0)
+        cnt = jnp.maximum(jnp.sum(d_mask.astype(jnp.float32)), 1.0)
+        geo_loss = cfg.lambda_geo * jnp.sum(weights * noise) / cnt
+
+        # patch NCC via per-pixel homography (pgsr_scene.py:151-203)
+        S = min(cfg.num_sample, HW)
+        if S == HW:
+            sample_idx = jnp.arange(HW)
+        else:
+            sample_idx = jax.random.choice(key, HW, (S,), replace=False)
+        sample_idx = jax.lax.stop_gradient(sample_idx)
+        s_mask = d_mask[sample_idx]
+        s_weights = weights[sample_idx]
+        s_pix = pix[sample_idx]
+
+        half = cfg.patch_size
+        offs = patch_offsets(half)                       # [P,2]
+        patch_px = s_pix[:, None, :] + offs[None]        # [S,P,2]
+        ref_vals = jax.lax.stop_gradient(
+            bilinear_sample(gt_gray, patch_px))          # [S,P]
+
+        # relative pose ref->near and homography
+        rel = near_cam.w2c[:3, :3] @ camera.w2c[:3, :3].T
+        t_rel = (near_cam.w2c[:3, :3]
+                 @ (camera.w2c[:3, :3].T @ -camera.w2c[:3, 3])
+                 + near_cam.w2c[:3, 3])
+        n_ref = out.normal.reshape(-1, 3)[sample_idx]    # camera space
+        d_ref = out.distance.reshape(-1)[sample_idx]
+        d_safe = jnp.where(jnp.abs(d_ref) > 1e-8, d_ref, 1e-8)
+        Hmat = rel[None] - (t_rel[None, :, None]
+                            @ n_ref[:, None, :]) / d_safe[:, None, None]
+        Kn = jnp.stack([
+            jnp.stack([near_cam.fx, jnp.zeros(()), near_cam.cx]),
+            jnp.stack([jnp.zeros(()), near_cam.fy, near_cam.cy]),
+            jnp.stack([jnp.zeros(()), jnp.zeros(()), jnp.ones(())]),
+        ])
+        Kri = jnp.stack([
+            jnp.stack([1.0 / camera.fx, jnp.zeros(()),
+                       -camera.cx / camera.fx]),
+            jnp.stack([jnp.zeros(()), 1.0 / camera.fy,
+                       -camera.cy / camera.fy]),
+            jnp.stack([jnp.zeros(()), jnp.zeros(()), jnp.ones(())]),
+        ])
+        Hfull = Kn[None] @ Hmat @ Kri[None]              # [S,3,3]
+        grid = patch_warp(Hfull, patch_px)               # [S,P,2]
+        near_vals = bilinear_sample(near_gray, grid)     # [S,P]
+
+        ncc, ncc_mask = lncc(ref_vals, near_vals)
+        m = s_mask & ncc_mask
+        cntm = jnp.maximum(jnp.sum(m.astype(jnp.float32)), 1.0)
+        ncc_loss = cfg.lambda_ncc * jnp.sum(
+            jnp.where(m, ncc * s_weights, 0.0)) / cntm
+        return geo_loss, ncc_loss
+
+    # ------------------------------------------------------------------
+    def _train_step(self, sh_degree, multi_view, state, extra, camera,
+                    near_camera, gt, near_gray, bg, step, key):
+        g = self.gaussians
+        cfg = self.config
+        N = state.params.xyz.shape[0]
+
+        def loss_fn(params, m2d, m2d_abs):
+            out = self.render_pgsr(params, camera, sh_degree, state.active,
+                                   bg, m2d, m2d_abs)
+            lam = cfg.lambda_dssim
+            terms = {
+                "L1_loss": (1.0 - lam) * l1_loss(out.image, gt),
+                "ssim_loss": lam * (1.0 - ssim(out.image, gt)),
+            }
+            if multi_view:
+                gt_gray = rgb_to_gray(gt)
+                # single-view normal consistency, image-gradient weighted
+                w_img = jnp.clip(1.0 - image_grad_weight(gt), 0.0, 1.0) ** 5
+                w_img = erode(jax.lax.stop_gradient(w_img))
+                dnormal = self.depth_normal(out.plane_depth, out.alpha,
+                                            camera)
+                terms["normal_loss"] = cfg.lambda_normal * jnp.mean(
+                    w_img * jnp.sum(jnp.abs(dnormal - out.normal), axis=-1))
+                near_out = self.render_pgsr(params, near_camera, sh_degree,
+                                            state.active, bg)
+                geo, ncc_l = self._multi_view_losses(
+                    out, near_out, camera, near_camera, gt_gray, near_gray,
+                    key)
+                terms["geo_loss"] = geo
+                terms["ncc_loss"] = ncc_l
+            return sum(terms.values()), (out, terms)
+
+        zeros2d = jnp.zeros((N, 2), jnp.float32)
+        (loss, (out, terms)), (pgrads, m2d_g, m2d_abs_g) = jax.value_and_grad(
+            loss_fn, argnums=(0, 1, 2), has_aux=True)(
+                state.params, zeros2d, zeros2d)
+
+        lrs = g.learning_rates(step)
+        new_params, new_adam = g.adam_step(state.params, pgrads, state.adam,
+                                           lrs)
+        new_stats, new_extra = g.update_stats_pgsr(
+            state.stats, extra, out.radii, m2d_g, m2d_abs_g, out.observe)
+        new_state = state._replace(params=new_params, adam=new_adam,
+                                   stats=new_stats)
+        metrics = dict(terms)
+        metrics["loss"] = loss
+        metrics["num_rendered"] = out.num_rendered
+        metrics["overflow"] = out.overflow
+        return new_state, new_extra, metrics
+
+    def train_step(self, state, camera, step: int):
+        sh_degree = self.gaussians.active_sh_degree(step)
+        multi = (step > self.config.multi_view_from
+                 and len(camera.near_ids) > 0)
+        cache_key = ("train", sh_degree, multi)
+        fn = self._jit_cache.get(cache_key)
+        if fn is None:
+            fn = jax.jit(functools.partial(self._train_step, sh_degree,
+                                           multi),
+                         donate_argnums=(0, 1))
+            self._jit_cache[cache_key] = fn
+        bg = self.get_background(step)
+        gt = jnp.asarray(camera.image, jnp.float32)
+        if multi:
+            near = self.dataloader.train_cameras[
+                self.key_host_choice(camera.near_ids)]
+            near_arr = near.arrays()
+            near_gray = jnp.asarray(
+                np.asarray(rgb_to_gray(jnp.asarray(near.image))),
+                jnp.float32)
+        else:
+            near_arr = camera.arrays()
+            near_gray = jnp.zeros((self.height, self.width), jnp.float32)
+        self.key, k = jax.random.split(self.key)
+        state, self.extra_stats, metrics = fn(
+            state, self.extra_stats, camera.arrays(), near_arr, gt,
+            near_gray, bg, jnp.asarray(step, jnp.float32), k)
+        return state, metrics
+
+    def key_host_choice(self, ids):
+        import random
+        return random.choice(list(ids))
+
+    # ------------------------------------------------------------------
+    def densify(self, state, step: int):
+        cfg = self.config.gaussians
+        if step < cfg.densify_until_iter:
+            if step > cfg.densify_from_iter and \
+                    step % cfg.densification_interval == 0:
+                fn = self._jit_cache.get("densify")
+                if fn is None:
+                    fn = jax.jit(self.gaussians.densify_and_prune,
+                                 donate_argnums=(0,))
+                    self._jit_cache["densify"] = fn
+                self.key, k = jax.random.split(self.key)
+                state, self.extra_stats = fn(
+                    state, k, jnp.asarray(step > cfg.opacity_reset_interval),
+                    extra=self.extra_stats)
+            if step % cfg.opacity_reset_interval == 0:
+                fn = self._jit_cache.get("reset_opacity")
+                if fn is None:
+                    fn = jax.jit(self.gaussians.reset_opacity,
+                                 donate_argnums=(0,))
+                    self._jit_cache["reset_opacity"] = fn
+                state = fn(state)
+        return state
+
+    def eval_render(self, state, camera, step: int):
+        sh_degree = self.gaussians.active_sh_degree(step)
+        fn = self._jit_cache.get(("eval", sh_degree))
+        if fn is None:
+            def _eval(params, active, cam, bg):
+                return self.render_pgsr(params, cam, sh_degree, active, bg)
+            fn = jax.jit(_eval)
+            self._jit_cache[("eval", sh_degree)] = fn
+        return fn(state.params, state.active, camera.arrays(),
+                  self.background)

@@ -197,3 +197,11 @@ class ScaffoldScene(VanillaScene):
         self.gaussians.save_ply(state, path)
         self.gaussians.save_mlp_checkpoints(
             state, path.replace(".ply", "_mlp.npz"))
+
+    def load_gaussians(self, path: str) -> ScaffoldState:
+        state = self.gaussians.load_ply(path)
+        mlp_path = path.replace(".ply", "_mlp.npz")
+        import os
+        if os.path.exists(mlp_path):
+            state = self.gaussians.load_mlp_checkpoints(state, mlp_path)
+        return state

@@ -42,7 +42,10 @@ def surf_normal_from_depth(surf_depth, alpha, camera):
     dv = points[2:, 1:-1] - points[:-2, 1:-1]
     dh = points[1:-1, 2:] - points[1:-1, :-2]
     nrm = jnp.cross(dv, dh)
-    nrm = nrm / (jnp.linalg.norm(nrm, axis=-1, keepdims=True) + 1e-12)
+    # rsqrt(sum+eps): linalg.norm's gradient at an exactly-zero vector
+    # (empty image regions) is nan
+    nrm = nrm * jax.lax.rsqrt(
+        jnp.sum(nrm * nrm, axis=-1, keepdims=True) + 1e-12)
     nrm = jnp.pad(nrm, ((1, 1), (1, 1), (0, 0)))
     return nrm * jax.lax.stop_gradient(alpha)[..., None]
 

@@ -186,3 +186,6 @@ class VanillaScene:
 
     def save_gaussians(self, state: GaussianState, path: str):
         self.gaussians.save_ply(state, path)
+
+    def load_gaussians(self, path: str) -> GaussianState:
+        return self.gaussians.load_ply(path)

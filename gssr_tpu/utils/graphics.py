@@ -9,6 +9,7 @@ from __future__ import annotations
 
 import math
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 
@@ -92,7 +93,7 @@ def points_to_normal(points):
     dzdx = points[1:-1, 2:, :] - points[1:-1, :-2, :]      # left -> right
     dzdy = points[:-2, 1:-1, :] - points[2:, 1:-1, :]      # bottom -> top
     n = jnp.cross(dzdx, dzdy)
-    n = n / (jnp.linalg.norm(n, axis=-1, keepdims=True) + 1e-12)
+    n = n * jax.lax.rsqrt(jnp.sum(n * n, axis=-1, keepdims=True) + 1e-12)
     return jnp.pad(n, ((1, 1), (1, 1), (0, 0)))
 
 

@@ -86,13 +86,14 @@ def write_synthetic_colmap_scene(root, n_cams=6, n_pts=128, width=64,
         name = f"{c.image_name}.png"
         Image.fromarray(img8).save(os.path.join(root, "images", name))
         qvec = rotmat_to_qvec(c.R.T)
+        # every camera tracks every point (synthetic covisibility)
+        pids = np.arange(1, len(pts) + 1, dtype=np.int64)
         images[i + 1] = ColmapImage(i + 1, qvec, c.T, 1, name,
-                                    np.zeros((0, 2)),
-                                    np.zeros(0, dtype=np.int64))
-    pts3d = {i + 1: ColmapPoint3D(i + 1, pts[i],
-                                  (cols[i] * 255).astype(np.uint8), 0.1,
-                                  np.array([1], dtype=np.int32),
-                                  np.array([0], dtype=np.int32))
-             for i in range(len(pts))}
+                                    np.zeros((len(pts), 2)), pids)
+    pts3d = {i + 1: ColmapPoint3D(
+        i + 1, pts[i], (cols[i] * 255).astype(np.uint8), 0.1,
+        np.arange(1, n_cams + 1, dtype=np.int32),
+        np.full(n_cams, i, dtype=np.int32))
+        for i in range(len(pts))}
     write_model(ccams, images, pts3d, os.path.join(root, "sparse/0"))
     return cams, pts, cols

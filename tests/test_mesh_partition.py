@@ -1,0 +1,106 @@
+"""Mesh pipeline (marching tetrahedra, TSDF) + VastGaussian partitioner."""
+import os
+import sys
+
+import numpy as np
+import pytest
+
+sys.path.insert(0, os.path.dirname(__file__))
+
+
+def test_marching_tetrahedra_sphere():
+    from gssr_tpu.utils.mtet import marching_tetrahedra
+    n = 48
+    lin = np.linspace(-1.2, 1.2, n)
+    gx, gy, gz = np.meshgrid(lin, lin, lin, indexing="ij")
+    sdf = np.sqrt(gx ** 2 + gy ** 2 + gz ** 2) - 1.0
+    sp = lin[1] - lin[0]
+    verts, faces = marching_tetrahedra(sdf, spacing=(sp,) * 3,
+                                       origin=(-1.2, -1.2, -1.2))
+    assert len(verts) > 500 and len(faces) > 500
+    r = np.linalg.norm(verts, axis=1)
+    assert abs(r.mean() - 1.0) < 0.02
+    assert r.std() < 0.02
+    # faces index valid vertices
+    assert faces.max() < len(verts) and faces.min() >= 0
+
+
+def test_marching_tetrahedra_blocked_matches():
+    from gssr_tpu.utils.mtet import (marching_tetrahedra,
+                                     marching_tetrahedra_blocked)
+    rng = np.random.default_rng(0)
+    sdf = rng.normal(size=(20, 20, 20))
+    def area(v, f):
+        a = v[f[:, 1]] - v[f[:, 0]]
+        b = v[f[:, 2]] - v[f[:, 0]]
+        return 0.5 * np.linalg.norm(np.cross(a, b), axis=1).sum()
+
+    v1, f1 = marching_tetrahedra(sdf)
+    v2, f2 = marching_tetrahedra_blocked(sdf, block=7)
+    # identical surface area (welding may differ across block borders)
+    assert np.isclose(area(v1, f1), area(v2, f2), rtol=1e-6)
+
+
+def test_keep_largest_clusters():
+    from gssr_tpu.utils.mtet import keep_largest_clusters
+    # two disconnected triangles + a larger fan
+    verts = np.array([[0, 0, 0], [1, 0, 0], [0, 1, 0],
+                      [5, 5, 5], [6, 5, 5], [5, 6, 5], [6, 6, 5]],
+                     dtype=np.float64)
+    faces = np.array([[0, 1, 2], [3, 4, 5], [4, 6, 5]], dtype=np.int64)
+    v, f = keep_largest_clusters(verts, faces, num_keep=1)
+    assert len(f) == 2   # the 2-face fan survives
+
+
+def test_tsdf_fusion_plane():
+    import jax.numpy as jnp
+    from gssr_tpu.utils.tsdf import extract_mesh, integrate_jit, make_volume
+    import math
+    from gssr_tpu.cameras import Camera
+    # camera at z=-2 looking +z at a wall at z=0
+    cam = Camera(uid=0, colmap_id=0, image_name="c", R=np.eye(3),
+                 T=np.array([0.0, 0.0, 2.0]), fovx=math.radians(60),
+                 fovy=math.radians(60), width=64, height=64)
+    depth = jnp.full((64, 64), 2.0)
+    rgb = jnp.full((64, 64, 3), 0.5)
+    alpha = jnp.ones((64, 64))
+    vol = make_volume(origin=(-1.0, -1.0, -1.0), dims=(64, 64, 64),
+                      voxel_size=2.0 / 64, sdf_trunc=0.1)
+    vol = integrate_jit(vol, depth, rgb, jnp.asarray(cam.w2c),
+                        jnp.asarray(cam.fx), jnp.asarray(cam.fy),
+                        jnp.asarray(cam.cx), jnp.asarray(cam.cy),
+                        depth_trunc=5.0, alpha=alpha)
+    verts, faces = extract_mesh(vol)
+    assert len(faces) > 100
+    # surface near z=0 plane
+    assert abs(np.median(verts[:, 2])) < 0.05
+
+
+def test_partitioner(tmp_path):
+    from synthetic import write_synthetic_colmap_scene
+    from gssr_tpu.utils.partition import split_scene
+    write_synthetic_colmap_scene(str(tmp_path), n_cams=8, n_pts=64,
+                                 width=32, height=32)
+    tiles = split_scene(str(tmp_path), str(tmp_path / "out"),
+                        num_col=2, num_row=1, visibility_threshold=0.3)
+    assert len(tiles) == 2
+    from gssr_tpu.dataio import colmap
+    total = 0
+    for t in tiles:
+        cams, imgs, pts = colmap.read_model(os.path.join(t, "sparse/0"))
+        assert len(imgs) > 0 and len(pts) > 0
+        assert os.path.exists(os.path.join(t, "box.txt"))
+        assert os.listdir(os.path.join(t, "images"))
+        total += len(imgs)
+    assert total >= 8  # overlap allowed
+
+
+def test_mesh_ply_roundtrip(tmp_path):
+    from gssr_tpu.utils.mesh_extract import read_mesh_ply, write_mesh_ply
+    v = np.random.default_rng(0).normal(size=(10, 3))
+    f = np.array([[0, 1, 2], [3, 4, 5]], dtype=np.int64)
+    p = str(tmp_path / "m.ply")
+    write_mesh_ply(p, v, f)
+    v2, f2 = read_mesh_ply(p)
+    assert np.allclose(v2, v, atol=1e-6)
+    assert (f2 == f).all()

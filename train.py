@@ -16,6 +16,9 @@ from gssr_tpu.engine.trainer import Trainer
 
 
 def main(config: Config):
+    if not config.source_path:
+        raise SystemExit(
+            "error: --source-path is required (a COLMAP scene directory)")
     config.set_timestamp()
     random.seed(config.machine.seed)
     np.random.seed(config.machine.seed)

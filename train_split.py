@@ -1,0 +1,44 @@
+#!/usr/bin/env python
+"""Train every tile of a partitioned scene.
+
+Parity: /root/reference/train_split.py (sequential per-tile training), plus
+a TPU-native extension: with --parallel-hosts N / --host-rank R, tile t is
+trained when t % N == R, so a multi-host fleet trains tiles embarrassingly
+parallel (the reference is strictly sequential, SURVEY §2.3).
+"""
+from __future__ import annotations
+
+import copy
+import glob
+import os
+
+from gssr_tpu.configs.cli import parse_config
+
+
+def main():
+    config = parse_config()
+    assert config.source_path, "--source-path required"
+    tiles = sorted(glob.glob(os.path.join(config.source_path, "tile_*")))
+    assert tiles, f"no tile_* dirs under {config.source_path}"
+    n_hosts = max(config.machine.num_hosts, 1)
+    rank = config.machine.host_rank
+    config.set_experiment_name()
+    config.set_timestamp()
+
+    import train as train_mod
+    trained = []
+    for i, tile_dir in enumerate(tiles):
+        if i % n_hosts != rank:
+            continue
+        tcfg = copy.deepcopy(config)
+        tcfg.source_path = tile_dir
+        tcfg.experiment_name = os.path.join(
+            config.experiment_name, os.path.basename(tile_dir))
+        print(f"=== training {tile_dir} ({i + 1}/{len(tiles)}) ===")
+        train_mod.main(tcfg)
+        trained.append(tile_dir)
+    print(f"trained {len(trained)} tiles on host {rank}/{n_hosts}")
+
+
+if __name__ == "__main__":
+    main()
