@@ -28,7 +28,10 @@ def main():
 
     W, H = 1600, 1056
     N = 200_000
-    CAP = 1 << 21
+    # tight instance capacity: every binning/pack/scatter op scales
+    # linearly with CAP, so size it to the workload (trainer auto-bumps on
+    # overflow; here the workload is fixed at ~3.8M padded instances)
+    CAP = 3 << 20
 
     rng = np.random.default_rng(0)
     cam = Camera(uid=0, colmap_id=0, image_name="bench",
@@ -51,18 +54,22 @@ def main():
         out = rasterize(means, scales, rots, opac, camarr, W, H, bg,
                         sh_coeffs=sh, sh_degree=3,
                         instance_cap=CAP, backend="pallas")
-        return jnp.mean(jnp.abs(out.image - tgt)), out.num_rendered
+        return jnp.mean(jnp.abs(out.image - tgt)), (out.num_rendered,
+                                                    out.overflow)
 
     step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4),
                                       has_aux=True))
 
-    (loss, nrend), grads = step(means, scales, rots, opac, sh)
+    (loss, (nrend, ovf)), grads = step(means, scales, rots, opac, sh)
     jax.block_until_ready(grads)
+    assert not bool(ovf), "instance_cap overflow — raise CAP"
     n_iters = 20
     t0 = time.perf_counter()
     for _ in range(n_iters):
-        (loss, nrend), grads = step(means, scales, rots, opac, sh)
-    jax.block_until_ready(grads)
+        (loss, (nrend, ovf)), grads = step(means, scales, rots, opac, sh)
+    # force a real device round-trip (block_until_ready alone is unreliable
+    # through the axon tunnel)
+    _ = float(loss)
     dt = (time.perf_counter() - t0) / n_iters
 
     mpix_s = (W * H / 1e6) / dt

@@ -43,6 +43,8 @@ class TrainerConfig:
     load_gaussian_step: Optional[int] = None
     load_config: Optional[str] = None
     log_interval: int = 10
+    profile_dir: Optional[str] = None
+    profile_steps: List[int] = field(default_factory=lambda: [100, 110])
 
 
 @dataclass

@@ -62,10 +62,23 @@ class Trainer:
         log_interval = max(1, tcfg.log_interval)
         t0 = time.time()
         ema_loss = None
+        mpix_acc = 0.0
 
         for step in range(self.start_step + 1, tcfg.iterations + 1):
+            if tcfg.profile_dir and tcfg.profile_steps \
+                    and step == tcfg.profile_steps[0]:
+                import jax.profiler
+                jax.profiler.start_trace(tcfg.profile_dir)
             camera = scene.dataloader.next_train()
             state, metrics = scene.train_step(state, camera, step)
+            mpix_acc += camera.width * camera.height / 1e6
+            if tcfg.profile_dir and len(tcfg.profile_steps) > 1 \
+                    and step == tcfg.profile_steps[1]:
+                import jax
+                import jax.profiler
+                jax.block_until_ready(state)
+                jax.profiler.stop_trace()
+                print(f"profiler trace written to {tcfg.profile_dir}")
 
             if step % log_interval == 0:
                 m = {k: float(v) for k, v in metrics.items()}
@@ -80,9 +93,15 @@ class Trainer:
                     for k, v in m.items():
                         self.writer.add_scalar(f"train/{k}", v, step)
                 if step % (log_interval * 50) == 0:
-                    ips = step / max(time.time() - t0, 1e-9)
+                    dt = max(time.time() - t0, 1e-9)
+                    ips = (step - self.start_step) / dt
+                    mpix_s = mpix_acc / dt
                     print(f"step {step:6d}  loss {ema_loss:.4f}  "
-                          f"n_active {int(state.n_active)}  {ips:.1f} it/s")
+                          f"n_active {int(state.n_active)}  {ips:.1f} it/s  "
+                          f"{mpix_s:.2f} Mpix/s")
+                    if self.writer is not None:
+                        self.writer.add_scalar("perf/mpix_per_s", mpix_s,
+                                               step)
 
             if step in tcfg.test_iterations:
                 ev = scene.evaluate(state, step)

@@ -48,23 +48,38 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
 
     offsets = jnp.cumsum(tiles_touched)                  # [N] inclusive
     num_rendered = offsets[-1]
+    starts = offsets - tiles_touched                     # exclusive starts
 
+    # instance -> gaussian via scatter + running max: TPU random gathers
+    # are slow, and searchsorted costs ~18 binary-search rounds of them; a
+    # single small scatter + one big cummax replaces it entirely. Each
+    # visible gaussian marks its first instance slot with (index+1); the
+    # running max then broadcasts the latest mark forward (marks appear in
+    # increasing index order by construction).
     ii = jnp.arange(instance_cap, dtype=jnp.int32)
-    # source gaussian of instance i: first g with offsets[g] > i
-    g = jnp.searchsorted(offsets, ii, side="right").astype(jnp.int32)
+    gauss_idx = jnp.arange(n, dtype=jnp.int32)
+    marks = jnp.zeros(instance_cap, jnp.int32).at[
+        jnp.where(tiles_touched > 0, starts, instance_cap)
+    ].set(gauss_idx + 1, mode="drop")
+    g_c = jnp.clip(jax.lax.cummax(marks) - 1, 0, n - 1).astype(jnp.int32)
     valid = ii < num_rendered
-    g_c = jnp.clip(g, 0, n - 1)
 
-    base = jnp.where(g_c > 0, offsets[jnp.maximum(g_c - 1, 0)], 0)
-    local = ii - base                                    # slot within the rect
-    x0 = rect[g_c, 0]
-    y0 = rect[g_c, 1]
-    w = jnp.maximum(rect[g_c, 2] - x0, 1)
-    tx = x0 + local % w
-    ty = y0 + local // w
+    # one packed gather for all per-gaussian fields (vs 5 separate ones)
+    recs = jnp.stack([
+        rect[:, 0], rect[:, 1],
+        jnp.maximum(rect[:, 2] - rect[:, 0], 1),
+        starts.astype(jnp.int32),
+        jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32),
+    ], axis=1)                                           # [N,5] int32
+    r = recs[g_c]                                        # [I,5]
+    local = ii - r[:, 3]
+    tx = r[:, 0] + local % r[:, 2]
+    ty = r[:, 1] + local // r[:, 2]
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
 
-    d = jnp.where(valid, depth[g_c], jnp.inf).astype(jnp.float32)
+    d = jnp.where(valid,
+                  jax.lax.bitcast_convert_type(r[:, 4], jnp.float32),
+                  jnp.inf).astype(jnp.float32)
     sorted_tile, _, sorted_gauss = jax.lax.sort(
         (tile_id, d, g_c), num_keys=2)
 
@@ -79,7 +94,7 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
                        num_rendered=jnp.minimum(num_rendered, instance_cap),
                        overflow=num_rendered > instance_cap)
 
-    # --- re-scatter into chunk-aligned per-tile ranges -------------------
+    # --- move into chunk-aligned per-tile ranges (gather formulation) ----
     assert instance_cap % chunk == 0, "instance_cap must be chunk-aligned"
     counts = tile_ranges[1:] - tile_ranges[:-1]                  # [T]
     padded_counts = (counts + chunk - 1) // chunk * chunk
@@ -91,21 +106,37 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
     # clamp so kernels never address past the buffer even on overflow
     padded_starts = jnp.minimum(padded_starts, instance_cap)
 
-    inst_valid = sorted_tile < num_tiles
-    t_c = jnp.minimum(sorted_tile, num_tiles - 1)
-    pos_in_tile = ii - tile_ranges[t_c]
-    new_pos = jnp.where(inst_valid,
-                        padded_starts[t_c] + pos_in_tile,
-                        instance_cap)                            # drop sentinels
-    pad_gauss = jnp.zeros(instance_cap, jnp.int32)
-    pad_tile = jnp.full(instance_cap, num_tiles, jnp.int32)
-    gauss_p = pad_gauss.at[new_pos].set(sorted_gauss, mode="drop")
-    tile_p = pad_tile.at[new_pos].set(sorted_tile, mode="drop")
-    valid_p = jnp.zeros(instance_cap, bool).at[new_pos].set(
-        inst_valid, mode="drop")
+    # Gather formulation with scatter+cummax broadcasts. Per-slot lookups
+    # into the [T] tables (padded_starts, tile_ranges, counts) would each
+    # cost a full 8M-index gather (TPU gather cost is per-index, not
+    # per-table); instead every needed per-tile value is MONOTONE
+    # NON-DECREASING over tiles, so a tiny scatter of the value at each
+    # tile's padded start + a running max broadcasts it to every slot of
+    # the segment. Only ONE big gather remains (the instance move itself).
+    tile_idx = jnp.arange(num_tiles, dtype=jnp.int32)
+    start_pos = jnp.where(padded_counts > 0, padded_starts[:-1], instance_cap)
+
+    def bcast(vals):  # vals[t] monotone non-decreasing, >= 0
+        m = jnp.zeros(instance_cap, jnp.int32).at[start_pos].set(
+            vals, mode="drop")
+        return jax.lax.cummax(m)
+
+    # cumulative padding before tile t — non-decreasing, so one channel
+    # replaces (padded_start, unpadded_start): src = ii - shift, and
+    # src >= tile_ranges[t] holds automatically within a segment
+    seg_shift = bcast(padded_starts[:-1] - tile_ranges[:-1])
+    seg_nxt = bcast(tile_ranges[1:])             # unpadded end of tile
+    src = ii - seg_shift                         # candidate source index
+    in_range = (src >= 0) & (src < seg_nxt) & (ii < total_padded)
+    gauss_p = jnp.where(in_range,
+                        sorted_gauss[jnp.where(in_range, src, 0)], 0)
+    # tile id per slot: only the reference (chunk=1) backend reads
+    # tile_of, so XLA dead-code-eliminates this channel on the Pallas path
+    seg_tile = bcast(tile_idx + 1) - 1
+    tile_p = jnp.where(in_range, seg_tile, num_tiles)
     # padding slots inside a tile's padded range keep tile sentinels but the
     # kernels never read tile_of; they use padded ranges directly.
-    return Binning(gauss_id=gauss_p, tile_of=tile_p, valid=valid_p,
+    return Binning(gauss_id=gauss_p, tile_of=tile_p, valid=in_range,
                    tile_ranges=padded_starts,
                    num_rendered=jnp.minimum(num_rendered, instance_cap),
                    overflow=overflow)

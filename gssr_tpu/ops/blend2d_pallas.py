@@ -36,6 +36,7 @@ from gssr_tpu.ops.blend_pallas import (
     _prefix_prod_excl_lanes,
     _prefix_sum_lanes,
     _total_prod_lanes,
+    gather_rows,
 )
 from gssr_tpu.ops.projection import TILE
 
@@ -467,17 +468,14 @@ _blend2_core.defvjp(_blend2_core_fwd, _blend2_core_bwd)
 
 def pack_instance_attrs_2d(mean2d, Tmat, normal, color, opacity,
                            binning: Binning):
-    gid = binning.gauss_id
-    zero = jnp.zeros_like(opacity[gid])
-    rows = [mean2d[gid, 0], mean2d[gid, 1]]
-    for rr in range(3):
-        rows += [Tmat[gid, rr, 0], Tmat[gid, rr, 1], Tmat[gid, rr, 2]]
-    rows += [opacity[gid]]
-    rows += [color[gid, 0], color[gid, 1], color[gid, 2]]
-    rows += [normal[gid, 0], normal[gid, 1], normal[gid, 2]]
-    rows += [binning.valid.astype(jnp.float32)]
-    rows += [zero] * (NUM_ATTRS2 - len(rows))
-    return jnp.stack(rows, axis=0)
+    """Single packed [N, A] gather (see vanilla pack_instance_attrs)."""
+    n = mean2d.shape[0]
+    zeros = jnp.zeros((n, NUM_ATTRS2 - 18), jnp.float32)
+    per_gauss = jnp.concatenate([
+        mean2d, Tmat.reshape(n, 9), opacity[:, None], color, normal,
+        zeros], axis=1)
+    gathered = gather_rows(per_gauss, binning.gauss_id, 18)
+    return gathered.T.at[A_VALID].set(binning.valid.astype(jnp.float32))
 
 
 class SurfelMaps:

@@ -135,6 +135,15 @@ def _dot_color(A, dacc):
 # Forward kernel
 # ---------------------------------------------------------------------------
 
+def _in_copy_factory(attrs_ref, abuf, sem, start):
+    """Double-buffered chunk fetch: chunk k lands in VMEM slot k % 2."""
+    def in_copy(k, slot):
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
+            abuf.at[slot], sem.at[slot])
+    return in_copy
+
+
 def _fwd_kernel(tiles_x, ranges_ref, attrs_ref, out_ref,
                 abuf, acc_ref, state_ref, sem):
     t = pl.program_id(0)
@@ -146,17 +155,33 @@ def _fwd_kernel(tiles_x, ranges_ref, attrs_ref, out_ref,
     acc_ref[:] = jnp.zeros((PIX, OUT_ROWS), jnp.float32)
     # state cols: 0 -> D (all-valid transmittance), 1 -> Tb (blended-only)
     state_ref[:] = jnp.ones((PIX, 2), jnp.float32)
+    in_copy = _in_copy_factory(attrs_ref, abuf, sem, start)
 
-    def body(k, _):
-        alive = jnp.max(state_ref[:, 0]) >= T_EPS
+    @pl.when(nchunks > 0)
+    def _():
+        in_copy(0, 0).start()
 
-        @pl.when(alive)
+    def body(k, pending):
+        # pending == 1 iff the DMA for chunk k was issued; once the early
+        # stop trips, the in-flight fetch is drained (wait) and no further
+        # DMAs are issued, so no semaphore leaks across grid steps.
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(pending == 1)
         def _():
-            dma = pltpu.make_async_copy(
-                attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], abuf, sem)
-            dma.start()
-            dma.wait()
-            A = abuf[:, :]
+            in_copy(k, slot).wait()
+
+        alive = jnp.max(state_ref[:, 0]) >= T_EPS
+        do = (pending == 1) & alive
+        fetch_next = do & (k + 1 < nchunks)
+
+        @pl.when(fetch_next)
+        def _():
+            in_copy(k + 1, 1 - slot).start()   # overlaps compute of chunk k
+
+        @pl.when(do)
+        def _():
+            A = abuf[slot]
             a, _extras = _chunk_alpha(A, px, py)
             one_m = 1.0 - a
             d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
@@ -171,9 +196,9 @@ def _fwd_kernel(tiles_x, ranges_ref, attrs_ref, out_ref,
             state_ref[:, 1:2] = state_ref[:, 1:2] * _total_prod_lanes(
                 jnp.where(contrib, one_m, 1.0))
 
-        return 0
+        return jnp.where(fetch_next, jnp.int32(1), jnp.int32(0))
 
-    jax.lax.fori_loop(0, nchunks, body, 0)
+    jax.lax.fori_loop(0, nchunks, body, jnp.int32(1))
     acc_ref[:, 3:4] = state_ref[:, 1:2]
     out_ref[0, :, :] = acc_ref[:, :]
 
@@ -194,22 +219,35 @@ def _bwd_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
     dT = cot_ref[0, :, 3:4]                   # (PIX, 1)
     final_T = fwd_ref[0, :, 3:4]              # (PIX, 1)
 
+    in_copy = _in_copy_factory(attrs_ref, abuf, in_sem, start)
+
     # ---- pass 1: total = sum over contributing instances of w * u --------
     # state cols: 0 -> D, 1 -> total, 2 -> prefix
     state_ref[:] = jnp.zeros((PIX, 4), jnp.float32)
     state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
 
-    def pass1(k, _):
-        alive = jnp.max(state_ref[:, 0]) >= T_EPS
+    @pl.when(nchunks > 0)
+    def _():
+        in_copy(0, 0).start()
 
-        @pl.when(alive)
+    def pass1(k, pending):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(pending == 1)
         def _():
-            dma = pltpu.make_async_copy(
-                attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], abuf,
-                in_sem)
-            dma.start()
-            dma.wait()
-            A = abuf[:, :]
+            in_copy(k, slot).wait()
+
+        alive = jnp.max(state_ref[:, 0]) >= T_EPS
+        do = (pending == 1) & alive
+        fetch_next = do & (k + 1 < nchunks)
+
+        @pl.when(fetch_next)
+        def _():
+            in_copy(k + 1, 1 - slot).start()
+
+        @pl.when(do)
+        def _():
+            A = abuf[slot]
             a, _extras = _chunk_alpha(A, px, py)
             one_m = 1.0 - a
             d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
@@ -219,9 +257,9 @@ def _bwd_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
             state_ref[:, 1:2] += jnp.sum(w * u, axis=1, keepdims=True)
             state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
 
-        return 0
+        return jnp.where(fetch_next, jnp.int32(1), jnp.int32(0))
 
-    jax.lax.fori_loop(0, nchunks, pass1, 0)
+    jax.lax.fori_loop(0, nchunks, pass1, jnp.int32(1))
 
     # ---- pass 2: per-instance gradients ---------------------------------
     total = state_ref[:, 1:2] + jnp.zeros((PIX, 1), jnp.float32)
@@ -229,16 +267,36 @@ def _bwd_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
     state_ref[:, 2:3] = jnp.zeros((PIX, 1), jnp.float32)
     bgterm = final_T * dT                                  # (PIX, 1)
 
+    def out_copy(k, slot):
+        return pltpu.make_async_copy(
+            dbuf.at[slot], dattr_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
+            out_sem.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        in_copy(0, 0).start()
+
     def pass2(k, _):
-        dma = pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], abuf, in_sem)
-        dma.start()
-        dma.wait()
+        # pass 2 runs every chunk (dead chunks still write zero gradients),
+        # so both directions double-buffer unconditionally; the slot-k
+        # output DMA is drained right before the slot is rewritten (k+2)
+        # and after the loop.
+        slot = jax.lax.rem(k, 2)
+        in_copy(k, slot).wait()
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            in_copy(k + 1, 1 - slot).start()
+
+        @pl.when(k >= 2)
+        def _():
+            out_copy(k - 2, slot).wait()
+
         alive = jnp.max(state_ref[:, 0]) >= T_EPS
 
         @pl.when(alive)
         def _():
-            A = abuf[:, :]
+            A = abuf[slot]
             a, (dx, dy, g_exp, raw, ok) = _chunk_alpha(A, px, py)
             one_m = 1.0 - a
             d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
@@ -258,37 +316,42 @@ def _bwd_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
             dpower = da_eff * raw                          # d alpha/d power
             r = lambda i: A[i:i + 1, :]
             cxx, cxy, cyy = r(ATTR_CXX), r(ATTR_CXY), r(ATTR_CYY)
-            dbuf[:] = jnp.zeros((NUM_ATTRS, CHUNK), jnp.float32)
-            dbuf[ATTR_MX:ATTR_MX + 1, :] = jnp.sum(
-                dpower * -(cxx * dx + cxy * dy), axis=0, keepdims=True)
-            dbuf[ATTR_MY:ATTR_MY + 1, :] = jnp.sum(
-                dpower * -(cyy * dy + cxy * dx), axis=0, keepdims=True)
-            dbuf[ATTR_CXX:ATTR_CXX + 1, :] = jnp.sum(
-                dpower * (-0.5 * dx * dx), axis=0, keepdims=True)
-            dbuf[ATTR_CXY:ATTR_CXY + 1, :] = jnp.sum(
-                dpower * (-dx * dy), axis=0, keepdims=True)
-            dbuf[ATTR_CYY:ATTR_CYY + 1, :] = jnp.sum(
-                dpower * (-0.5 * dy * dy), axis=0, keepdims=True)
-            dbuf[ATTR_OP:ATTR_OP + 1, :] = jnp.sum(
-                da_eff * g_exp, axis=0, keepdims=True)
-            for c in range(3):
-                dbuf[ATTR_R + c:ATTR_R + c + 1, :] = jnp.sum(
-                    w * dacc[:, c:c + 1], axis=0, keepdims=True)
+            rows = [
+                jnp.sum(dpower * -(cxx * dx + cxy * dy), axis=0,
+                        keepdims=True),
+                jnp.sum(dpower * -(cyy * dy + cxy * dx), axis=0,
+                        keepdims=True),
+                jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True),
+                jnp.sum(dpower * (-dx * dy), axis=0, keepdims=True),
+                jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True),
+                jnp.sum(da_eff * g_exp, axis=0, keepdims=True),
+            ] + [
+                jnp.sum(w * dacc[:, c:c + 1], axis=0, keepdims=True)
+                for c in range(3)
+            ]
+            dbuf[slot] = jnp.concatenate(
+                rows + [jnp.zeros((NUM_ATTRS - 9, CHUNK), jnp.float32)],
+                axis=0)
             state_ref[:, 2:3] = state_ref[:, 2:3] + jnp.sum(
                 wu, axis=1, keepdims=True)
             state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
 
         @pl.when(jnp.logical_not(alive))
         def _():
-            dbuf[:] = jnp.zeros((NUM_ATTRS, CHUNK), jnp.float32)
+            dbuf[slot] = jnp.zeros((NUM_ATTRS, CHUNK), jnp.float32)
 
-        out_dma = pltpu.make_async_copy(
-            dbuf, dattr_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], out_sem)
-        out_dma.start()
-        out_dma.wait()
+        out_copy(k, slot).start()
         return 0
 
     jax.lax.fori_loop(0, nchunks, pass2, 0)
+    # drain trailing output DMAs
+    @pl.when(nchunks >= 2)
+    def _():
+        out_copy(nchunks - 2, jax.lax.rem(nchunks - 2, 2)).wait()
+
+    @pl.when(nchunks >= 1)
+    def _():
+        out_copy(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).wait()
 
 
 # ---------------------------------------------------------------------------
@@ -304,10 +367,10 @@ def _run_fwd(attrs, ranges, tiles_x: int, tiles_y: int):
         out_specs=pl.BlockSpec((1, PIX, OUT_ROWS), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NUM_ATTRS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_ATTRS, CHUNK), jnp.float32),
             pltpu.VMEM((PIX, OUT_ROWS), jnp.float32),
             pltpu.VMEM((PIX, 2), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -333,11 +396,11 @@ def _run_bwd(attrs, ranges, fwd_out, cot, tiles_x: int, tiles_y: int):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((NUM_ATTRS, CHUNK), jnp.float32),
-            pltpu.VMEM((NUM_ATTRS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_ATTRS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_ATTRS, CHUNK), jnp.float32),
             pltpu.VMEM((PIX, 4), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -396,21 +459,45 @@ def _blend_core_bwd(tiles_x, tiles_y, res, cotangents):
 _blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
+def gather_rows(per_gauss, gauss_id, n_used):
+    """per_gauss[gauss_id] with a VJP that scatter-adds only the first
+    n_used columns (the rest are structurally zero-gradient padding rows;
+    the instance-count-sized scatter-add is a top bwd cost, so narrowing
+    its width matters)."""
+    return per_gauss[gauss_id]
+
+
+def _gather_rows_fwd(per_gauss, gauss_id, n_used):
+    return per_gauss[gauss_id], (per_gauss.shape[0], gauss_id)
+
+
+def _gather_rows_bwd(n_used, res, dg):
+    n, gauss_id = res
+    dpg = jnp.zeros((n, n_used), dg.dtype).at[gauss_id].add(
+        dg[:, :n_used], mode="drop")
+    dpg = jnp.concatenate(
+        [dpg, jnp.zeros((n, dg.shape[1] - n_used), dg.dtype)], axis=1)
+    return dpg, np.zeros(gauss_id.shape, jax.dtypes.float0)
+
+
+gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
+
+
 def pack_instance_attrs(mean2d, conic, color, opacity, binning: Binning):
     """Gather per-gaussian attrs into the sorted-instance layout
-    [NUM_ATTRS, I]. This gather is differentiated by XLA — its VJP is the
-    per-gaussian scatter-add of instance gradients."""
-    gid = binning.gauss_id
-    zero = jnp.zeros_like(opacity[gid])
-    rows = [
-        mean2d[gid, 0], mean2d[gid, 1],
-        conic[gid, 0], conic[gid, 1], conic[gid, 2],
-        opacity[gid],
-        color[gid, 0], color[gid, 1], color[gid, 2],
-        zero, zero, zero, zero, zero, zero,
-        binning.valid.astype(jnp.float32),
-    ]
-    return jnp.stack(rows, axis=0)
+    [NUM_ATTRS, I]. One packed [N, A] gather (TPU random gathers are slow;
+    a row gather amortizes the index cost over all attrs); its VJP is the
+    per-gaussian scatter-add of instance gradients, narrowed to the 9
+    differentiable rows."""
+    n = mean2d.shape[0]
+    zeros = jnp.zeros((n, NUM_ATTRS - 9), jnp.float32)
+    per_gauss = jnp.concatenate([
+        mean2d, conic, opacity[:, None], color, zeros], axis=1)  # [N, 16]
+    gathered = gather_rows(per_gauss, binning.gauss_id, 9)       # [I, A]
+    attrs = gathered.T.at[ATTR_VALID].set(
+        binning.valid.astype(jnp.float32))
+    return attrs
 
 
 def blend_pallas(mean2d, conic, color, opacity, binning: Binning,

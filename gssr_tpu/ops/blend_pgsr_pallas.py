@@ -39,6 +39,7 @@ from gssr_tpu.ops.blend_pallas import (
     _prefix_prod_excl_lanes,
     _prefix_sum_lanes,
     _total_prod_lanes,
+    gather_rows,
 )
 from gssr_tpu.ops.projection import TILE
 
@@ -363,19 +364,14 @@ _blendp_core.defvjp(_blendp_core_fwd, _blendp_core_bwd)
 
 def pack_instance_attrs_pgsr(mean2d, conic, color, opacity, normal, distance,
                              abs_dummy, binning: Binning):
-    """abs_dummy: [N,2] zeros — its gather VJP receives the abs grads."""
-    gid = binning.gauss_id
-    rows = [
-        mean2d[gid, 0], mean2d[gid, 1],
-        conic[gid, 0], conic[gid, 1], conic[gid, 2],
-        opacity[gid],
-        color[gid, 0], color[gid, 1], color[gid, 2],
-        normal[gid, 0], normal[gid, 1], normal[gid, 2],
-        distance[gid],
-        binning.valid.astype(jnp.float32),
-        abs_dummy[gid, 0], abs_dummy[gid, 1],
-    ]
-    return jnp.stack(rows, axis=0)
+    """abs_dummy: [N,2] zeros — its gather VJP receives the abs grads.
+    Single packed [N, A] gather (see vanilla pack_instance_attrs)."""
+    n = mean2d.shape[0]
+    per_gauss = jnp.concatenate([
+        mean2d, conic, opacity[:, None], color, normal, distance[:, None],
+        jnp.zeros((n, 1), jnp.float32), abs_dummy], axis=1)
+    gathered = per_gauss[binning.gauss_id]
+    return gathered.T.at[P_VALID].set(binning.valid.astype(jnp.float32))
 
 
 class PlanarMaps:

@@ -100,22 +100,39 @@ def compute_cov2d(means3d, cov3d, w2c, fx, fy, tan_fovx, tan_fovy,
     return jnp.stack([cxx, cxy, cyy], axis=-1)
 
 
-def tile_rect(mean2d, radius, tiles_x, tiles_y):
-    """Touched-tile rect, exclusive max (auxiliary.h getRect)."""
+def tile_rect(mean2d, radius_x, tiles_x, tiles_y, radius_y=None):
+    """Touched-tile rect, exclusive max (auxiliary.h getRect). Accepts
+    per-axis extents: the ellipse's axis-aligned bbox (+-s*sqrt(cov_xx),
+    +-s*sqrt(cov_yy)) is strictly tighter than the reference's square
+    my_radius rect while still covering the visible level set."""
+    if radius_y is None:
+        radius_y = radius_x
     x, y = mean2d[..., 0], mean2d[..., 1]
-    r = radius.astype(jnp.float32)
-    x0 = jnp.clip(((x - r) / TILE), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(((y - r) / TILE), 0, tiles_y).astype(jnp.int32)
-    x1 = jnp.clip(((x + r + TILE - 1) / TILE), 0, tiles_x).astype(jnp.int32)
-    y1 = jnp.clip(((y + r + TILE - 1) / TILE), 0, tiles_y).astype(jnp.int32)
+    rx = radius_x.astype(jnp.float32)
+    ry = radius_y.astype(jnp.float32)
+    x0 = jnp.clip(((x - rx) / TILE), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(((y - ry) / TILE), 0, tiles_y).astype(jnp.int32)
+    x1 = jnp.clip(((x + rx + TILE - 1) / TILE), 0, tiles_x).astype(jnp.int32)
+    y1 = jnp.clip(((y + ry + TILE - 1) / TILE), 0, tiles_y).astype(jnp.int32)
     return jnp.stack([x0, y0, x1, y1], axis=-1)
+
+
+def opacity_sigma_factor(opacity, visible):
+    """Extent in sigmas of the alpha >= 1/255 level set, capped at the
+    reference's 3-sigma (forward.cu:336 my_radius). Everything outside is
+    skipped by the blend kernels' alpha cut anyway, so shrinking the rect
+    for low-opacity gaussians is exact — it only removes no-op instances."""
+    op = jax.lax.stop_gradient(opacity.reshape(-1))
+    s_fac = jnp.sqrt(2.0 * jnp.log(jnp.maximum(op * 255.0, 1.0 + 1e-6)))
+    return jnp.minimum(s_fac, 3.0), visible & (op * 255.0 > 1.0)
 
 
 def preprocess(means3d, scales, rotations, camera, width, height,
                cov3d=None, scaling_modifier: float = 1.0,
-               active_mask=None) -> Projected:
+               active_mask=None, opacity=None) -> Projected:
     """Vanilla-3DGS preprocess. width/height are the *padded* image size
-    (multiples of TILE). camera is a CameraArrays pytree."""
+    (multiples of TILE). camera is a CameraArrays pytree. opacity (optional,
+    activated [N]) tightens the tile rect to the visible level set."""
     tiles_x, tiles_y = width // TILE, height // TILE
     if cov3d is None:
         cov3d = build_covariance(scales, rotations, scaling_modifier)
@@ -140,10 +157,14 @@ def preprocess(means3d, scales, rotations, camera, width, height,
                        cov2d[..., 0] * inv_det], axis=-1)
     conic = jnp.where(visible[..., None], conic, 0.0)
 
+    if opacity is None:
+        s_fac = 3.0
+    else:
+        s_fac, visible = opacity_sigma_factor(opacity, visible)
     mid = 0.5 * (cov2d[..., 0] + cov2d[..., 2])
     disc = jnp.sqrt(jnp.maximum(0.1, mid * mid - det))
     lambda1 = mid + disc
-    radius_f = jnp.ceil(3.0 * jnp.sqrt(jnp.maximum(lambda1, 1e-12)))
+    radius_f = jnp.ceil(s_fac * jnp.sqrt(jnp.maximum(lambda1, 1e-12)))
     # sanitize culled projections so reverse-mode AD never multiplies an
     # inf/nan intermediate by a zero cotangent
     p_proj = jnp.where(near_ok[..., None], p_proj, 0.0)
@@ -151,7 +172,12 @@ def preprocess(means3d, scales, rotations, camera, width, height,
                         ndc_to_pix(p_proj[..., 1], height)], axis=-1)
 
     radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
-    rect = tile_rect(mean2d, radius, tiles_x, tiles_y)
+    # per-axis bbox of the visible level set (tighter than the square rect)
+    rx = jnp.ceil(s_fac * jnp.sqrt(jnp.maximum(cov2d[..., 0], 1e-12)))
+    ry = jnp.ceil(s_fac * jnp.sqrt(jnp.maximum(cov2d[..., 2], 1e-12)))
+    zero = jnp.zeros_like(rx)
+    rect = tile_rect(mean2d, jnp.where(visible, rx, zero), tiles_x, tiles_y,
+                     jnp.where(visible, ry, zero))
     tiles = (rect[..., 2] - rect[..., 0]) * (rect[..., 3] - rect[..., 1])
     tiles = jnp.where(visible, tiles, 0).astype(jnp.int32)
     # zero the rect extent for culled gaussians so binning skips them

@@ -31,7 +31,7 @@ class Projected2D(NamedTuple):
 
 def preprocess_2d(means3d, scales2, rotations, camera, width: int, height: int,
                   scaling_modifier: float = 1.0,
-                  active_mask=None) -> Projected2D:
+                  active_mask=None, opacity=None) -> Projected2D:
     tiles_x, tiles_y = width // TILE, height // TILE
     R = quat_to_rotmat(rotations)                       # [N,3,3]
     sx = scales2[..., 0:1] * scaling_modifier
@@ -81,11 +81,24 @@ def preprocess_2d(means3d, scales2, rotations, camera, width: int, height: int,
     hy = jnp.sqrt(jnp.maximum(1e-4, cy * cy - jnp.sum(f * Tv * Tv, axis=-1)))
     mean2d = jnp.where(visible[..., None],
                        jnp.stack([cx, cy], axis=-1), 0.0)
-    radius_f = jnp.ceil(jnp.maximum(jnp.maximum(hx, hy),
-                                    CUTOFF * FILTER_SIZE))
+    if opacity is None:
+        s_fac = CUTOFF
+    else:
+        # alpha >= 1/255 level set in sigmas (<= CUTOFF); exact because the
+        # blend kernel's alpha cut skips everything outside it. The AABB and
+        # the low-pass filter radius both scale linearly with it.
+        from gssr_tpu.ops.projection import opacity_sigma_factor
+        s_fac, visible = opacity_sigma_factor(opacity, visible)
+    # per-axis extents (the AABB is already axis-aligned; squaring it via
+    # max(hx, hy) as the CUDA reference does only wastes instances)
+    rx = jnp.ceil(jnp.maximum(hx * (s_fac / CUTOFF), s_fac * FILTER_SIZE))
+    ry = jnp.ceil(jnp.maximum(hy * (s_fac / CUTOFF), s_fac * FILTER_SIZE))
+    radius_f = jnp.maximum(rx, ry)
 
     radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
-    rect = tile_rect(mean2d, radius, tiles_x, tiles_y)
+    zero = jnp.zeros_like(rx)
+    rect = tile_rect(mean2d, jnp.where(visible, rx, zero), tiles_x, tiles_y,
+                     jnp.where(visible, ry, zero))
     tiles = (rect[..., 2] - rect[..., 0]) * (rect[..., 3] - rect[..., 1])
     tiles = jnp.where(visible, tiles, 0).astype(jnp.int32)
     radius = jnp.where(tiles > 0, radius, 0)

@@ -78,7 +78,8 @@ def rasterize(means3d, scales, rotations, opacity, camera,
     pw, ph = pad_to_tiles(width, height)
     proj = preprocess(means3d, scales, rotations, camera, pw, ph,
                       scaling_modifier=scaling_modifier,
-                      active_mask=active_mask)
+                      active_mask=active_mask,
+                      opacity=opacity.reshape(-1))
     if mean2d_offset is not None:
         # zero-valued hook so callers can take d(loss)/d(mean2d) for
         # densification stats (replaces the reference's retain_grad trick,

@@ -47,7 +47,8 @@ def rasterize_2d(means3d, scales2, rotations, opacity, camera,
     pw, ph = pad_to_tiles(width, height)
     proj = preprocess_2d(means3d, scales2, rotations, camera, pw, ph,
                          scaling_modifier=scaling_modifier,
-                         active_mask=active_mask)
+                         active_mask=active_mask,
+                         opacity=opacity.reshape(-1))
     if mean2d_offset is not None:
         proj = proj._replace(mean2d=proj.mean2d + mean2d_offset)
 

@@ -58,7 +58,8 @@ def rasterize_pgsr(means3d, scales, rotations, opacity, camera,
     pw, ph = pad_to_tiles(width, height)
     proj = preprocess(means3d, scales, rotations, camera, pw, ph,
                       scaling_modifier=scaling_modifier,
-                      active_mask=active_mask)
+                      active_mask=active_mask,
+                      opacity=opacity.reshape(-1))
     if mean2d_offset is not None:
         proj = proj._replace(mean2d=proj.mean2d + mean2d_offset)
     if mean2d_abs_offset is None:

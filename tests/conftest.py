@@ -6,12 +6,22 @@ on CPU — no TPU required for CI.
 """
 import os
 
-os.environ.setdefault("JAX_PLATFORMS", "cpu")
+# force, don't setdefault: the machine environment exports
+# JAX_PLATFORMS=axon (the remote TPU tunnel) globally, and tests must
+# never compete with training/bench jobs for the single TPU client slot
+os.environ["JAX_PLATFORMS"] = "cpu"
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (
         flags + " --xla_force_host_platform_device_count=8").strip()
 os.environ.setdefault("GSSR_TPU_INTERPRET", "1")  # pallas interpret mode
+
+# the machine's sitecustomize registers the axon TPU plugin at interpreter
+# startup (before this file runs), which pins the platform choice — the
+# config update below overrides it again
+import jax
+
+jax.config.update("jax_platforms", "cpu")
 
 import numpy as np
 import pytest

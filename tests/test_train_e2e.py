@@ -36,14 +36,14 @@ def test_vanilla_overfit_synthetic(tmp_path):
     trainer.setup()
     scene = trainer.scene
 
-    # loss must go down over a few steps
-    state = scene.state
+    # loss must go down over a few steps (train_step donates its input
+    # state, so thread the returned state back)
     cam = scene.dataloader.train_cameras[0]
-    _, m0 = scene.train_step(state, cam, 1)
+    scene.state, m0 = scene.train_step(scene.state, cam, 1)
     first_loss = float(m0["loss"])
 
     state = trainer.train()
-    _, m1 = scene.train_step(state, cam, config.trainer.iterations + 1)
+    state, m1 = scene.train_step(state, cam, config.trainer.iterations + 1)
     assert float(m1["loss"]) < first_loss
 
     # artifacts exist
