@@ -60,6 +60,8 @@ O_DIST = 8
 O_MED = 9
 O_SELPOS = 10
 O_MEDNRM = 11     # 11-13
+O_S1 = 14         # distortion total S1 = sum w*m (internal, for backward)
+O_S2 = 15         # distortion total S2 = sum w*m^2
 OUT2_ROWS = 16
 
 NEAR_N = 0.2
@@ -127,16 +129,33 @@ def _fwd2_kernel(tiles_x, ranges_ref, attrs_ref, out_ref,
     state_ref[:, 0:2] = jnp.ones((PIX, 2), jnp.float32)
     gidx = jax.lax.broadcasted_iota(jnp.int32, (PIX, CHUNK), 1)
 
-    def body(k, _):
-        alive = jnp.max(state_ref[:, 0]) >= T_EPS
+    def in_copy(k, slot):
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
+            abuf.at[slot], sem.at[slot])
 
-        @pl.when(alive)
+    @pl.when(nchunks > 0)
+    def _():
+        in_copy(0, 0).start()
+
+    def body(k, pending):
+        slot = jax.lax.rem(k, 2)
+
+        @pl.when(pending == 1)
         def _():
-            dma = pltpu.make_async_copy(
-                attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], abuf, sem)
-            dma.start()
-            dma.wait()
-            A = abuf[:, :]
+            in_copy(k, slot).wait()
+
+        alive = jnp.max(state_ref[:, 0]) >= T_EPS
+        do = (pending == 1) & alive
+        fetch_next = do & (k + 1 < nchunks)
+
+        @pl.when(fetch_next)
+        def _():
+            in_copy(k + 1, 1 - slot).start()
+
+        @pl.when(do)
+        def _():
+            A = abuf[slot]
             a, aux = _surfel_alpha(A, px, py)
             one_m = 1.0 - a
             d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
@@ -190,10 +209,13 @@ def _fwd2_kernel(tiles_x, ranges_ref, attrs_ref, out_ref,
             state_ref[:, 1:2] = state_ref[:, 1:2] * _total_prod_lanes(
                 jnp.where(contrib, one_m, 1.0))
 
-        return 0
+        return jnp.where(fetch_next, jnp.int32(1), jnp.int32(0))
 
-    jax.lax.fori_loop(0, nchunks, body, 0)
+    jax.lax.fori_loop(0, nchunks, body, jnp.int32(1))
     acc_ref[:, O_T:O_T + 1] = state_ref[:, 1:2]
+    # distortion totals for the backward (replaces its pass-1 walk)
+    acc_ref[:, O_S1:O_S1 + 1] = state_ref[:, 2:3]
+    acc_ref[:, O_S2:O_S2 + 1] = state_ref[:, 3:4]
     out_ref[0, :, :] = acc_ref[:, :]
 
 
@@ -223,59 +245,59 @@ def _bwd2_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
             b += A[A_NRM + ci:A_NRM + ci + 1, :] * dN[:, ci:ci + 1]
         return b
 
-    # ---- pass 1: totals S0, S1, S2, total_wbase --------------------------
-    # state cols: 0 D, 1 S0, 2 S1, 3 S2, 4 total_wbase, 5 prefix_wbeta
+    # Totals the CUDA-style first pass would rebuild, read from the forward
+    # outputs instead: every base channel (rgb, depth, normal) is linear in
+    # w so its total is the forward accumulator contracted with its
+    # cotangent; S0 telescopes to 1 - final_T; S1/S2 are stored by the
+    # forward in the spare output rows.
+    S0 = 1.0 - final_T
+    S1 = fwd_ref[0, :, O_S1:O_S1 + 1]
+    S2 = fwd_ref[0, :, O_S2:O_S2 + 1]
+    total_base = dD * fwd_ref[0, :, O_D:O_D + 1]
+    for _c in range(3):
+        total_base += dC[:, _c:_c + 1] * fwd_ref[0, :, O_RGB + _c:
+                                                 O_RGB + _c + 1]
+        total_base += dN[:, _c:_c + 1] * fwd_ref[0, :, O_NRM + _c:
+                                                 O_NRM + _c + 1]
+    total_wb = total_base + ddist * 2.0 * (S0 * S2 - S1 * S1)
+    bgterm = final_T * dT
+
+    # ---- single pass: gradients -----------------------------------------
+    # state cols: 0 D, 5 prefix_wbeta
     state_ref[:] = jnp.zeros((PIX, 8), jnp.float32)
     state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
 
-    def pass1(k, _):
-        alive = jnp.max(state_ref[:, 0]) >= T_EPS
+    def in_copy(k, slot):
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
+            abuf.at[slot], in_sem.at[slot])
 
-        @pl.when(alive)
-        def _():
-            dma = pltpu.make_async_copy(
-                attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], abuf,
-                in_sem)
-            dma.start()
-            dma.wait()
-            A = abuf[:, :]
-            a, aux = _surfel_alpha(A, px, py)
-            one_m = 1.0 - a
-            d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
-            contrib = (a > 0.0) & (d_before * one_m >= T_EPS)
-            w = jnp.where(contrib, a * d_before, 0.0)
-            m = aux["m"]
-            state_ref[:, 1:2] += jnp.sum(w, axis=1, keepdims=True)
-            state_ref[:, 2:3] += jnp.sum(w * m, axis=1, keepdims=True)
-            state_ref[:, 3:4] += jnp.sum(w * m * m, axis=1, keepdims=True)
-            state_ref[:, 4:5] += jnp.sum(w * base_of(A, aux), axis=1,
-                                         keepdims=True)
-            state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
+    def out_copy(k, slot):
+        return pltpu.make_async_copy(
+            dbuf.at[slot], dattr_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
+            out_sem.at[slot])
 
-        return 0
-
-    jax.lax.fori_loop(0, nchunks, pass1, 0)
-
-    S0 = state_ref[:, 1:2] + jnp.zeros((PIX, 1), jnp.float32)
-    S1 = state_ref[:, 2:3] + jnp.zeros((PIX, 1), jnp.float32)
-    S2 = state_ref[:, 3:4] + jnp.zeros((PIX, 1), jnp.float32)
-    total_wb = state_ref[:, 4:5] + ddist * 2.0 * (S0 * S2 - S1 * S1)
-    bgterm = final_T * dT
-
-    # ---- pass 2: gradients ----------------------------------------------
-    state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
-    state_ref[:, 5:6] = jnp.zeros((PIX, 1), jnp.float32)
+    @pl.when(nchunks > 0)
+    def _():
+        in_copy(0, 0).start()
 
     def pass2(k, _):
-        dma = pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], abuf, in_sem)
-        dma.start()
-        dma.wait()
+        slot = jax.lax.rem(k, 2)
+        in_copy(k, slot).wait()
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            in_copy(k + 1, 1 - slot).start()
+
+        @pl.when(k >= 2)
+        def _():
+            out_copy(k - 2, slot).wait()
+
         alive = jnp.max(state_ref[:, 0]) >= T_EPS
 
         @pl.when(alive)
         def _():
-            A = abuf[:, :]
+            A = abuf[slot]
             a, aux = _surfel_alpha(A, px, py)
             one_m = 1.0 - a
             d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
@@ -326,29 +348,24 @@ def _bwd2_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
             gl1 = gp2 * k0 - gp0 * k2
             gl2 = gp0 * k1 - gp1 * k0
 
-            dbuf[:] = jnp.zeros((NUM_ATTRS2, CHUNK), jnp.float32)
-            dbuf[A_XY:A_XY + 1, :] = jnp.sum(g2d * 4.0 * aux["dx"], axis=0,
-                                             keepdims=True)
-            dbuf[A_XY + 1:A_XY + 2, :] = jnp.sum(g2d * 4.0 * aux["dy"],
-                                                 axis=0, keepdims=True)
-            for i, (gki, gli) in enumerate(((gk0, gl0), (gk1, gl1),
-                                            (gk2, gl2))):
-                dbuf[A_TU + i:A_TU + i + 1, :] = jnp.sum(
-                    -gki, axis=0, keepdims=True)
-                dbuf[A_TV + i:A_TV + i + 1, :] = jnp.sum(
-                    -gli, axis=0, keepdims=True)
-                extra = (gdepth * jnp.where(is3d, aux["s0"], 0.0) if i == 0
-                         else gdepth * jnp.where(is3d, aux["s1"], 0.0)
-                         if i == 1 else gdepth)
-                dbuf[A_TW + i:A_TW + i + 1, :] = jnp.sum(
-                    px * gki + py * gli + extra, axis=0, keepdims=True)
-            dbuf[A_OP:A_OP + 1, :] = jnp.sum(da_eff * aux["g_exp"], axis=0,
-                                             keepdims=True)
-            for ci in range(3):
-                dbuf[A_RGB + ci:A_RGB + ci + 1, :] = jnp.sum(
-                    w * dC[:, ci:ci + 1], axis=0, keepdims=True)
-                dbuf[A_NRM + ci:A_NRM + ci + 1, :] = jnp.sum(
-                    w * dN[:, ci:ci + 1], axis=0, keepdims=True)
+            s = lambda v: jnp.sum(v, axis=0, keepdims=True)
+            extras = (gdepth * jnp.where(is3d, aux["s0"], 0.0),
+                      gdepth * jnp.where(is3d, aux["s1"], 0.0),
+                      gdepth)
+            gks = (gk0, gk1, gk2)
+            gls = (gl0, gl1, gl2)
+            # rows in A_* order: xy(2) tu(3) tv(3) tw(3) op rgb(3) nrm(3)
+            rows = ([s(g2d * 4.0 * aux["dx"]), s(g2d * 4.0 * aux["dy"])]
+                    + [s(-gki) for gki in gks]
+                    + [s(-gli) for gli in gls]
+                    + [s(px * gks[i] + py * gls[i] + extras[i])
+                       for i in range(3)]
+                    + [s(da_eff * aux["g_exp"])]
+                    + [s(w * dC[:, ci:ci + 1]) for ci in range(3)]
+                    + [s(w * dN[:, ci:ci + 1]) for ci in range(3)])
+            dbuf[slot] = jnp.concatenate(
+                rows + [jnp.zeros((NUM_ATTRS2 - 18, CHUNK), jnp.float32)],
+                axis=0)
 
             state_ref[:, 5:6] = state_ref[:, 5:6] + jnp.sum(
                 wbeta, axis=1, keepdims=True)
@@ -356,15 +373,20 @@ def _bwd2_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
 
         @pl.when(jnp.logical_not(alive))
         def _():
-            dbuf[:] = jnp.zeros((NUM_ATTRS2, CHUNK), jnp.float32)
+            dbuf[slot] = jnp.zeros((NUM_ATTRS2, CHUNK), jnp.float32)
 
-        out_dma = pltpu.make_async_copy(
-            dbuf, dattr_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], out_sem)
-        out_dma.start()
-        out_dma.wait()
+        out_copy(k, slot).start()
         return 0
 
     jax.lax.fori_loop(0, nchunks, pass2, 0)
+
+    @pl.when(nchunks >= 2)
+    def _():
+        out_copy(nchunks - 2, jax.lax.rem(nchunks - 2, 2)).wait()
+
+    @pl.when(nchunks >= 1)
+    def _():
+        out_copy(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).wait()
 
 
 # ---------------------------------------------------------------------------
@@ -380,10 +402,10 @@ def _run_fwd2(attrs, ranges, tiles_x: int, tiles_y: int):
         out_specs=pl.BlockSpec((1, PIX, OUT2_ROWS), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((NUM_ATTRS2, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_ATTRS2, CHUNK), jnp.float32),
             pltpu.VMEM((PIX, OUT2_ROWS), jnp.float32),
             pltpu.VMEM((PIX, 4), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -409,11 +431,11 @@ def _run_bwd2(attrs, ranges, fwd_out, cot, tiles_x: int, tiles_y: int):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((NUM_ATTRS2, CHUNK), jnp.float32),
-            pltpu.VMEM((NUM_ATTRS2, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_ATTRS2, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_ATTRS2, CHUNK), jnp.float32),
             pltpu.VMEM((PIX, 8), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -456,6 +478,10 @@ def _blend2_core_bwd(tiles_x, tiles_y, res, g_rows):
     mask = np.ones((OUT2_ROWS,), np.float32)
     mask[O_SELPOS] = 0.0
     mask[O_MEDNRM:O_MEDNRM + 3] = 0.0
+    # S1/S2 are backward-plumbing outputs; their effect on the distortion
+    # loss is already in the analytic dL/ddist chain
+    mask[O_S1] = 0.0
+    mask[O_S2] = 0.0
     cot = _rows_to_tiles(g_rows * jnp.asarray(mask), tiles_x, tiles_y)
     dattrs = _run_bwd2(attrs, ranges, fwd_out, cot, tiles_x, tiles_y)
     # mask never-written tail slots (see vanilla _blend_core_bwd)

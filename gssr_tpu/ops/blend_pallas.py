@@ -221,50 +221,18 @@ def _bwd_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
 
     in_copy = _in_copy_factory(attrs_ref, abuf, in_sem, start)
 
-    # ---- pass 1: total = sum over contributing instances of w * u --------
-    # state cols: 0 -> D, 1 -> total, 2 -> prefix
+    # total = sum_i w_i (color_i . dacc) = dacc . acc_rgb: the per-pixel
+    # total the CUDA backward rebuilds in a first pass is just the forward
+    # RGB accumulation contracted with its cotangent — read it instead of
+    # re-walking the instance list (saves one full pass over attrs).
+    total = (fwd_ref[0, :, 0:1] * dacc[:, 0:1]
+             + fwd_ref[0, :, 1:2] * dacc[:, 1:2]
+             + fwd_ref[0, :, 2:3] * dacc[:, 2:3])       # (PIX, 1)
+
+    # ---- single pass: per-instance gradients ----------------------------
+    # state cols: 0 -> D, 2 -> running prefix of w*u
     state_ref[:] = jnp.zeros((PIX, 4), jnp.float32)
     state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
-
-    @pl.when(nchunks > 0)
-    def _():
-        in_copy(0, 0).start()
-
-    def pass1(k, pending):
-        slot = jax.lax.rem(k, 2)
-
-        @pl.when(pending == 1)
-        def _():
-            in_copy(k, slot).wait()
-
-        alive = jnp.max(state_ref[:, 0]) >= T_EPS
-        do = (pending == 1) & alive
-        fetch_next = do & (k + 1 < nchunks)
-
-        @pl.when(fetch_next)
-        def _():
-            in_copy(k + 1, 1 - slot).start()
-
-        @pl.when(do)
-        def _():
-            A = abuf[slot]
-            a, _extras = _chunk_alpha(A, px, py)
-            one_m = 1.0 - a
-            d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
-            contrib = (a > 0.0) & (d_before * one_m >= T_EPS)
-            w = jnp.where(contrib, a * d_before, 0.0)
-            u = _dot_color(A, dacc)                        # (PIX, CHUNK)
-            state_ref[:, 1:2] += jnp.sum(w * u, axis=1, keepdims=True)
-            state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
-
-        return jnp.where(fetch_next, jnp.int32(1), jnp.int32(0))
-
-    jax.lax.fori_loop(0, nchunks, pass1, jnp.int32(1))
-
-    # ---- pass 2: per-instance gradients ---------------------------------
-    total = state_ref[:, 1:2] + jnp.zeros((PIX, 1), jnp.float32)
-    state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
-    state_ref[:, 2:3] = jnp.zeros((PIX, 1), jnp.float32)
     bgterm = final_T * dT                                  # (PIX, 1)
 
     def out_copy(k, slot):

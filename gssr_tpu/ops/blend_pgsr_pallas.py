@@ -89,16 +89,39 @@ def _fwdp_kernel(tiles_x, ranges_ref, attrs_ref, out_ref, obs_ref,
     acc_ref[:] = jnp.zeros((PIX, OUTP_ROWS), jnp.float32)
     state_ref[:] = jnp.ones((PIX, 2), jnp.float32)
 
+    def in_copy(k, slot):
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
+            abuf.at[slot], sem.at[slot])
+
+    def obs_copy(k, slot):
+        return pltpu.make_async_copy(
+            obuf.at[slot], obs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
+            obs_sem.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        in_copy(0, 0).start()
+
     def body(k, _):
-        dma = pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], abuf, sem)
-        dma.start()
-        dma.wait()
+        # every chunk writes its observe slice, so both directions run
+        # unconditionally with double buffering (see vanilla bwd pass 2)
+        slot = jax.lax.rem(k, 2)
+        in_copy(k, slot).wait()
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            in_copy(k + 1, 1 - slot).start()
+
+        @pl.when(k >= 2)
+        def _():
+            obs_copy(k - 2, slot).wait()
+
         alive = jnp.max(state_ref[:, 0]) >= T_EPS
 
         @pl.when(alive)
         def _():
-            A = abuf[:, :]
+            A = abuf[slot]
             a, _extras = _chunk_alpha_p(A, px, py)
             one_m = 1.0 - a
             d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
@@ -113,25 +136,31 @@ def _fwdp_kernel(tiles_x, ranges_ref, attrs_ref, out_ref, obs_ref,
             acc_ref[:, PO_DIST:PO_DIST + 1] += jnp.sum(
                 w * A[P_DIST:P_DIST + 1, :], axis=1, keepdims=True)
             # out_observe: pixels whose blend-T before this gaussian > 0.5
-            obuf[:] = jnp.zeros((OBS_ROWS, CHUNK), jnp.float32)
-            obuf[0:1, :] = jnp.sum(
-                jnp.where(contrib & (d_before > 0.5), 1.0, 0.0),
-                axis=0, keepdims=True)
+            obuf[slot] = jnp.concatenate([
+                jnp.sum(jnp.where(contrib & (d_before > 0.5), 1.0, 0.0),
+                        axis=0, keepdims=True),
+                jnp.zeros((OBS_ROWS - 1, CHUNK), jnp.float32)], axis=0)
             state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
             state_ref[:, 1:2] = state_ref[:, 1:2] * _total_prod_lanes(
                 jnp.where(contrib, one_m, 1.0))
 
         @pl.when(jnp.logical_not(alive))
         def _():
-            obuf[:] = jnp.zeros((OBS_ROWS, CHUNK), jnp.float32)
+            obuf[slot] = jnp.zeros((OBS_ROWS, CHUNK), jnp.float32)
 
-        obs_dma = pltpu.make_async_copy(
-            obuf, obs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], obs_sem)
-        obs_dma.start()
-        obs_dma.wait()
+        obs_copy(k, slot).start()
         return 0
 
     jax.lax.fori_loop(0, nchunks, body, 0)
+
+    @pl.when(nchunks >= 2)
+    def _():
+        obs_copy(nchunks - 2, jax.lax.rem(nchunks - 2, 2)).wait()
+
+    @pl.when(nchunks >= 1)
+    def _():
+        obs_copy(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).wait()
+
     acc_ref[:, PO_T:PO_T + 1] = state_ref[:, 1:2]
     out_ref[0, :, :] = acc_ref[:, :]
 
@@ -157,48 +186,49 @@ def _bwdp_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
             u += A[P_NRM + c:P_NRM + c + 1, :] * dN[:, c:c + 1]
         return u
 
-    # ---- pass 1: total = sum contrib w * u -------------------------------
+    # total = sum_i w_i u_i: every u channel (rgb, normal, distance) is
+    # linear in w, so the pass-1 walk the CUDA backward does reduces to
+    # contracting the forward accumulators with their cotangents.
+    total = dDist * fwd_ref[0, :, PO_DIST:PO_DIST + 1]
+    for _c in range(3):
+        total += dC[:, _c:_c + 1] * fwd_ref[0, :, PO_RGB + _c:PO_RGB + _c + 1]
+        total += dN[:, _c:_c + 1] * fwd_ref[0, :, PO_NRM + _c:PO_NRM + _c + 1]
+
     state_ref[:] = jnp.zeros((PIX, 4), jnp.float32)
     state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
-
-    def pass1(k, _):
-        alive = jnp.max(state_ref[:, 0]) >= T_EPS
-
-        @pl.when(alive)
-        def _():
-            dma = pltpu.make_async_copy(
-                attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], abuf,
-                in_sem)
-            dma.start()
-            dma.wait()
-            A = abuf[:, :]
-            a, _extras = _chunk_alpha_p(A, px, py)
-            one_m = 1.0 - a
-            d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
-            contrib = (a > 0.0) & (d_before * one_m >= T_EPS)
-            w = jnp.where(contrib, a * d_before, 0.0)
-            state_ref[:, 1:2] += jnp.sum(w * u_of(A), axis=1, keepdims=True)
-            state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
-
-        return 0
-
-    jax.lax.fori_loop(0, nchunks, pass1, 0)
-
-    total = state_ref[:, 1:2] + jnp.zeros((PIX, 1), jnp.float32)
-    state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
-    state_ref[:, 2:3] = jnp.zeros((PIX, 1), jnp.float32)
     bgterm = final_T * dT
 
+    def in_copy(k, slot):
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
+            abuf.at[slot], in_sem.at[slot])
+
+    def out_copy(k, slot):
+        return pltpu.make_async_copy(
+            dbuf.at[slot], dattr_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
+            out_sem.at[slot])
+
+    @pl.when(nchunks > 0)
+    def _():
+        in_copy(0, 0).start()
+
     def pass2(k, _):
-        dma = pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], abuf, in_sem)
-        dma.start()
-        dma.wait()
+        slot = jax.lax.rem(k, 2)
+        in_copy(k, slot).wait()
+
+        @pl.when(k + 1 < nchunks)
+        def _():
+            in_copy(k + 1, 1 - slot).start()
+
+        @pl.when(k >= 2)
+        def _():
+            out_copy(k - 2, slot).wait()
+
         alive = jnp.max(state_ref[:, 0]) >= T_EPS
 
         @pl.when(alive)
         def _():
-            A = abuf[:, :]
+            A = abuf[slot]
             a, (dx, dy, g_exp, raw, ok) = _chunk_alpha_p(A, px, py)
             one_m = 1.0 - a
             d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
@@ -218,44 +248,40 @@ def _bwdp_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
             cxx, cxy, cyy = r(P_CXX), r(P_CXY), r(P_CYY)
             gx = dpower * -(cxx * dx + cxy * dy)
             gy = dpower * -(cyy * dy + cxy * dx)
-            dbuf[:] = jnp.zeros((NUM_ATTRS_P, CHUNK), jnp.float32)
-            dbuf[P_MX:P_MX + 1, :] = jnp.sum(gx, axis=0, keepdims=True)
-            dbuf[P_MY:P_MY + 1, :] = jnp.sum(gy, axis=0, keepdims=True)
-            # abs screen-space gradients (backward.cu:602-603)
-            dbuf[P_ABSX:P_ABSX + 1, :] = jnp.sum(jnp.abs(gx), axis=0,
-                                                 keepdims=True)
-            dbuf[P_ABSY:P_ABSY + 1, :] = jnp.sum(jnp.abs(gy), axis=0,
-                                                 keepdims=True)
-            dbuf[P_CXX:P_CXX + 1, :] = jnp.sum(dpower * (-0.5 * dx * dx),
-                                               axis=0, keepdims=True)
-            dbuf[P_CXY:P_CXY + 1, :] = jnp.sum(dpower * (-dx * dy),
-                                               axis=0, keepdims=True)
-            dbuf[P_CYY:P_CYY + 1, :] = jnp.sum(dpower * (-0.5 * dy * dy),
-                                               axis=0, keepdims=True)
-            dbuf[P_OP:P_OP + 1, :] = jnp.sum(da_eff * g_exp, axis=0,
-                                             keepdims=True)
-            for c in range(3):
-                dbuf[P_RGB + c:P_RGB + c + 1, :] = jnp.sum(
-                    w * dC[:, c:c + 1], axis=0, keepdims=True)
-                dbuf[P_NRM + c:P_NRM + c + 1, :] = jnp.sum(
-                    w * dN[:, c:c + 1], axis=0, keepdims=True)
-            dbuf[P_DIST:P_DIST + 1, :] = jnp.sum(w * dDist, axis=0,
-                                                 keepdims=True)
+            s = lambda v: jnp.sum(v, axis=0, keepdims=True)
+            # rows in P_* order: mx my cxx cxy cyy op rgb nrm dist
+            # valid(0) absx absy — abs screen grads per backward.cu:602-603
+            rows = ([s(gx), s(gy),
+                     s(dpower * (-0.5 * dx * dx)),
+                     s(dpower * (-dx * dy)),
+                     s(dpower * (-0.5 * dy * dy)),
+                     s(da_eff * g_exp)]
+                    + [s(w * dC[:, c:c + 1]) for c in range(3)]
+                    + [s(w * dN[:, c:c + 1]) for c in range(3)]
+                    + [s(w * dDist),
+                       jnp.zeros((1, CHUNK), jnp.float32),
+                       s(jnp.abs(gx)), s(jnp.abs(gy))])
+            dbuf[slot] = jnp.concatenate(rows, axis=0)
             state_ref[:, 2:3] = state_ref[:, 2:3] + jnp.sum(
                 wu, axis=1, keepdims=True)
             state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
 
         @pl.when(jnp.logical_not(alive))
         def _():
-            dbuf[:] = jnp.zeros((NUM_ATTRS_P, CHUNK), jnp.float32)
+            dbuf[slot] = jnp.zeros((NUM_ATTRS_P, CHUNK), jnp.float32)
 
-        out_dma = pltpu.make_async_copy(
-            dbuf, dattr_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)], out_sem)
-        out_dma.start()
-        out_dma.wait()
+        out_copy(k, slot).start()
         return 0
 
     jax.lax.fori_loop(0, nchunks, pass2, 0)
+
+    @pl.when(nchunks >= 2)
+    def _():
+        out_copy(nchunks - 2, jax.lax.rem(nchunks - 2, 2)).wait()
+
+    @pl.when(nchunks >= 1)
+    def _():
+        out_copy(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).wait()
 
 
 # ---------------------------------------------------------------------------
@@ -275,12 +301,12 @@ def _run_fwdp(attrs, ranges, tiles_x: int, tiles_y: int):
             pl.BlockSpec(memory_space=pltpu.HBM),
         ),
         scratch_shapes=[
-            pltpu.VMEM((NUM_ATTRS_P, CHUNK), jnp.float32),
-            pltpu.VMEM((OBS_ROWS, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_ATTRS_P, CHUNK), jnp.float32),
+            pltpu.VMEM((2, OBS_ROWS, CHUNK), jnp.float32),
             pltpu.VMEM((PIX, OUTP_ROWS), jnp.float32),
             pltpu.VMEM((PIX, 2), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
@@ -309,11 +335,11 @@ def _run_bwdp(attrs, ranges, fwd_out, cot, tiles_x: int, tiles_y: int):
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((NUM_ATTRS_P, CHUNK), jnp.float32),
-            pltpu.VMEM((NUM_ATTRS_P, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_ATTRS_P, CHUNK), jnp.float32),
+            pltpu.VMEM((2, NUM_ATTRS_P, CHUNK), jnp.float32),
             pltpu.VMEM((PIX, 4), jnp.float32),
-            pltpu.SemaphoreType.DMA(()),
-            pltpu.SemaphoreType.DMA(()),
+            pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA((2,)),
         ],
     )
     return pl.pallas_call(
