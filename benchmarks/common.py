@@ -1,0 +1,72 @@
+"""Shared synthetic workload builders for the benchmark suite.
+
+Workload sizing mirrors the reference's CSU-Library headline scene
+(~1.7 Mpix frames, low-hundreds-of-k gaussians mid-training; BASELINE.md).
+Baseline throughput constant: the reference CUDA stack finishes 30k
+iterations in ~39-41 min => ~12.8 train steps/s ~= 12.8 Mpix/s through one
+GPU's rasterizer fwd+bwd (BASELINE.md).
+"""
+from __future__ import annotations
+
+import json
+import math
+import time
+
+import numpy as np
+
+BASELINE_MPIX_S = 12.8
+import os as _os
+W = int(_os.environ.get("GSSR_BENCH_W", 1600))
+H = int(_os.environ.get("GSSR_BENCH_H", 1056))
+N_GAUSS = 200_000
+
+
+def make_camera(uid: int = 0, dist: float = 4.0, yaw: float = 0.0):
+    from gssr_tpu.cameras import Camera
+    c, s = math.cos(yaw), math.sin(yaw)
+    R = np.array([[c, 0, s], [0, 1, 0], [-s, 0, c]])
+    return Camera(uid=uid, colmap_id=uid, image_name=f"bench{uid}",
+                  R=R, T=np.array([0.0, 0.0, dist]),
+                  fovx=math.radians(70), fovy=math.radians(50),
+                  width=W, height=H)
+
+
+def make_cloud(n: int = N_GAUSS, seed: int = 0):
+    """Random splat cloud shaped like the bench.py headline workload."""
+    import jax.numpy as jnp
+    rng = np.random.default_rng(seed)
+    return dict(
+        means=jnp.asarray(rng.uniform(-3, 3, (n, 3))
+                          * np.array([1.5, 1.0, 1.0]), jnp.float32),
+        scales=jnp.asarray(np.exp(rng.uniform(-4.5, -2.5, (n, 3))),
+                           jnp.float32),
+        rots=jnp.asarray(rng.normal(size=(n, 4)), jnp.float32),
+        opac=jnp.asarray(rng.uniform(0.2, 0.9, (n,)), jnp.float32),
+        sh=jnp.asarray(rng.normal(0, 0.3, (n, 16, 3)), jnp.float32),
+        tgt=jnp.asarray(rng.uniform(0, 1, (H, W, 3)), jnp.float32),
+    )
+
+
+def time_step(step, args, iters: int = 20, readback=None):
+    """Median-free simple timing with a forced device round-trip."""
+    import jax
+    out = step(*args)
+    jax.block_until_ready(out)
+    if readback is None:
+        readback = lambda o: float(jax.tree_util.tree_leaves(o)[0].ravel()[0])
+    _ = readback(out)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        out = step(*args)
+    _ = readback(out)
+    return (time.perf_counter() - t0) / iters
+
+
+def emit(metric: str, mpix_s: float, detail: dict):
+    print(json.dumps({
+        "metric": metric,
+        "value": round(mpix_s, 3),
+        "unit": "Mpix/s/chip",
+        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
+        "detail": detail,
+    }))

@@ -158,7 +158,8 @@ def _fwd2_kernel(tiles_x, ranges_ref, attrs_ref, out_ref,
             A = abuf[slot]
             a, aux = _surfel_alpha(A, px, py)
             one_m = 1.0 - a
-            d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
+            pfx = _prefix_prod_excl_lanes(one_m)
+            d_before = state_ref[:, 0:1] * pfx
             d_inc = d_before * one_m
             contrib = (a > 0.0) & (d_inc >= T_EPS)
             w = jnp.where(contrib, a * d_before, 0.0)
@@ -205,7 +206,7 @@ def _fwd2_kernel(tiles_x, ranges_ref, attrs_ref, out_ref,
 
             state_ref[:, 2:3] += jnp.sum(wm, axis=1, keepdims=True)
             state_ref[:, 3:4] += jnp.sum(wm * m, axis=1, keepdims=True)
-            state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
+            state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:] * one_m[:, -1:])
             state_ref[:, 1:2] = state_ref[:, 1:2] * _total_prod_lanes(
                 jnp.where(contrib, one_m, 1.0))
 
@@ -300,7 +301,8 @@ def _bwd2_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
             A = abuf[slot]
             a, aux = _surfel_alpha(A, px, py)
             one_m = 1.0 - a
-            d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
+            pfx = _prefix_prod_excl_lanes(one_m)
+            d_before = state_ref[:, 0:1] * pfx
             contrib = (a > 0.0) & (d_before * one_m >= T_EPS)
             w = jnp.where(contrib, a * d_before, 0.0)
             m = aux["m"]
@@ -315,9 +317,10 @@ def _bwd2_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
             unclamped = aux["raw"] < ALPHA_MAX
             da_eff = jnp.where(aux["ok"] & unclamped, da, 0.0)
 
-            onehot = jnp.where(sel_pos >= 0.0,
-                               (k * CHUNK + gidx).astype(jnp.float32)
-                               == sel_pos, False)
+            # pure boolean algebra: a where() over bool vectors lowers to
+            # an i8 select + i1 truncation Mosaic rejects
+            onehot = ((sel_pos >= 0.0)
+                      & ((k * CHUNK + gidx).astype(jnp.float32) == sel_pos))
             dm_dd = M_COEF * NEAR_N / (aux["safe_depth"] ** 2)
             gdepth = jnp.where(contrib,
                                w * dD
@@ -369,7 +372,7 @@ def _bwd2_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
 
             state_ref[:, 5:6] = state_ref[:, 5:6] + jnp.sum(
                 wbeta, axis=1, keepdims=True)
-            state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
+            state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:] * one_m[:, -1:])
 
         @pl.when(jnp.logical_not(alive))
         def _():

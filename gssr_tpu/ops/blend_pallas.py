@@ -184,7 +184,8 @@ def _fwd_kernel(tiles_x, ranges_ref, attrs_ref, out_ref,
             A = abuf[slot]
             a, _extras = _chunk_alpha(A, px, py)
             one_m = 1.0 - a
-            d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
+            pfx = _prefix_prod_excl_lanes(one_m)
+            d_before = state_ref[:, 0:1] * pfx
             d_inc = d_before * one_m
             contrib = (a > 0.0) & (d_inc >= T_EPS)
             w = jnp.where(contrib, a * d_before, 0.0)      # (PIX, CHUNK)
@@ -192,7 +193,7 @@ def _fwd_kernel(tiles_x, ranges_ref, attrs_ref, out_ref,
                 acc_ref[:, c:c + 1] += jnp.sum(
                     w * A[ATTR_R + c:ATTR_R + c + 1, :],
                     axis=1, keepdims=True)
-            state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
+            state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:] * one_m[:, -1:])
             state_ref[:, 1:2] = state_ref[:, 1:2] * _total_prod_lanes(
                 jnp.where(contrib, one_m, 1.0))
 
@@ -267,7 +268,8 @@ def _bwd_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
             A = abuf[slot]
             a, (dx, dy, g_exp, raw, ok) = _chunk_alpha(A, px, py)
             one_m = 1.0 - a
-            d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
+            pfx = _prefix_prod_excl_lanes(one_m)
+            d_before = state_ref[:, 0:1] * pfx
             contrib = (a > 0.0) & (d_before * one_m >= T_EPS)
             w = jnp.where(contrib, a * d_before, 0.0)
             u = _dot_color(A, dacc)
@@ -302,7 +304,7 @@ def _bwd_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
                 axis=0)
             state_ref[:, 2:3] = state_ref[:, 2:3] + jnp.sum(
                 wu, axis=1, keepdims=True)
-            state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
+            state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:] * one_m[:, -1:])
 
         @pl.when(jnp.logical_not(alive))
         def _():

@@ -124,7 +124,8 @@ def _fwdp_kernel(tiles_x, ranges_ref, attrs_ref, out_ref, obs_ref,
             A = abuf[slot]
             a, _extras = _chunk_alpha_p(A, px, py)
             one_m = 1.0 - a
-            d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
+            pfx = _prefix_prod_excl_lanes(one_m)
+            d_before = state_ref[:, 0:1] * pfx
             d_inc = d_before * one_m
             contrib = (a > 0.0) & (d_inc >= T_EPS)
             w = jnp.where(contrib, a * d_before, 0.0)
@@ -140,7 +141,7 @@ def _fwdp_kernel(tiles_x, ranges_ref, attrs_ref, out_ref, obs_ref,
                 jnp.sum(jnp.where(contrib & (d_before > 0.5), 1.0, 0.0),
                         axis=0, keepdims=True),
                 jnp.zeros((OBS_ROWS - 1, CHUNK), jnp.float32)], axis=0)
-            state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
+            state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:] * one_m[:, -1:])
             state_ref[:, 1:2] = state_ref[:, 1:2] * _total_prod_lanes(
                 jnp.where(contrib, one_m, 1.0))
 
@@ -231,7 +232,8 @@ def _bwdp_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
             A = abuf[slot]
             a, (dx, dy, g_exp, raw, ok) = _chunk_alpha_p(A, px, py)
             one_m = 1.0 - a
-            d_before = state_ref[:, 0:1] * _prefix_prod_excl_lanes(one_m)
+            pfx = _prefix_prod_excl_lanes(one_m)
+            d_before = state_ref[:, 0:1] * pfx
             contrib = (a > 0.0) & (d_before * one_m >= T_EPS)
             w = jnp.where(contrib, a * d_before, 0.0)
             u = u_of(A)
@@ -264,7 +266,7 @@ def _bwdp_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
             dbuf[slot] = jnp.concatenate(rows, axis=0)
             state_ref[:, 2:3] = state_ref[:, 2:3] + jnp.sum(
                 wu, axis=1, keepdims=True)
-            state_ref[:, 0:1] = state_ref[:, 0:1] * _total_prod_lanes(one_m)
+            state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:] * one_m[:, -1:])
 
         @pl.when(jnp.logical_not(alive))
         def _():

@@ -19,6 +19,12 @@ import numpy as np
 
 
 def mean_knn_dist2_host(points: np.ndarray, k: int = 3) -> np.ndarray:
+    if k == 3:
+        # native C++ Morton-box path (the simple-knn parity implementation)
+        from gssr_tpu.ops.knn_native import mean_knn_dist2_native
+        out = mean_knn_dist2_native(points)
+        if out is not None:
+            return out.astype(np.float64)
     from scipy.spatial import cKDTree
     tree = cKDTree(np.asarray(points, dtype=np.float64))
     d, _ = tree.query(points, k=k + 1)   # first neighbor is the point itself
