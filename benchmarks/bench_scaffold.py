@@ -23,7 +23,7 @@ def main():
     from gssr_tpu.ops.rasterize import rasterize, pad_to_tiles
     from gssr_tpu.ops.projection import preprocess
 
-    CAP = 3 << 20
+    CAP = 1 << 22
     rng = np.random.default_rng(0)
     # ~40k anchors x 10 offsets -> up to 400k neural gaussians
     pts = rng.uniform(-3, 3, (60_000, 3)) * np.array([1.5, 1.0, 1.0])

@@ -86,9 +86,11 @@ class Trainer:
                 ema_loss = loss if ema_loss is None else \
                     0.6 * ema_loss + 0.4 * loss
                 if m.get("overflow"):
+                    new_cap = scene.bump_instance_cap()
                     print(f"[warn] instance buffer overflow at step {step} "
                           f"(rendered {int(m.get('num_rendered', 0))}); "
-                          "raise scene.instance_cap")
+                          f"auto-bumped instance_cap to {new_cap} "
+                          "(next step recompiles)")
                 if self.writer is not None:
                     for k, v in m.items():
                         self.writer.add_scalar(f"train/{k}", v, step)

@@ -64,21 +64,27 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
     g_c = jnp.clip(jax.lax.cummax(marks) - 1, 0, n - 1).astype(jnp.int32)
     valid = ii < num_rendered
 
-    # one packed gather for all per-gaussian fields (vs 5 separate ones)
+    # one packed gather for all per-gaussian fields; the rect fits in one
+    # int32 with 10-bit fields (supports images up to 1024 tiles per axis
+    # = 16k pixels), so 3 columns instead of 5
+    assert tiles_x <= 1024 and tiles_y <= 1024, "rect pack field overflow"
+    rect_pack = (rect[:, 0] | (rect[:, 1] << 10)
+                 | (jnp.maximum(rect[:, 2] - rect[:, 0], 1) << 20))
     recs = jnp.stack([
-        rect[:, 0], rect[:, 1],
-        jnp.maximum(rect[:, 2] - rect[:, 0], 1),
-        starts.astype(jnp.int32),
+        rect_pack, starts.astype(jnp.int32),
         jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32),
-    ], axis=1)                                           # [N,5] int32
-    r = recs[g_c]                                        # [I,5]
-    local = ii - r[:, 3]
-    tx = r[:, 0] + local % r[:, 2]
-    ty = r[:, 1] + local // r[:, 2]
+    ], axis=1)                                           # [N,3] int32
+    r = recs[g_c]                                        # [I,3]
+    x0 = r[:, 0] & 0x3FF
+    y0 = (r[:, 0] >> 10) & 0x3FF
+    rw = (r[:, 0] >> 20) & 0x3FF
+    local = ii - r[:, 1]
+    tx = x0 + local % rw
+    ty = y0 + local // rw
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
 
     d = jnp.where(valid,
-                  jax.lax.bitcast_convert_type(r[:, 4], jnp.float32),
+                  jax.lax.bitcast_convert_type(r[:, 2], jnp.float32),
                   jnp.inf).astype(jnp.float32)
     sorted_tile, _, sorted_gauss = jax.lax.sort(
         (tile_id, d, g_c), num_keys=2)

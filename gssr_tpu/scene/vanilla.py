@@ -60,6 +60,17 @@ class VanillaScene:
         self._jit_cache: Dict = {}
 
     # ------------------------------------------------------------------
+    def bump_instance_cap(self) -> int:
+        """Grow the instance buffer 1.5x (128-aligned) after an overflow
+        and drop compiled steps so the next one retraces with the new
+        static capacity. Replaces the CUDA path's lazily resized binning
+        buffers (rasterizer_impl.cu:155-194) for fixed-shape XLA."""
+        new_cap = -(-int(self.config.instance_cap * 3 // 2) // 128) * 128
+        self.config.instance_cap = new_cap
+        self._jit_cache.clear()
+        return new_cap
+
+    # ------------------------------------------------------------------
     def make_gaussians(self) -> VanillaGaussians:
         return VanillaGaussians(self.config.gaussians,
                                 spatial_lr_scale=self.cameras_extent)
