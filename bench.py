@@ -31,7 +31,7 @@ def main():
     # tight instance capacity: every binning/pack/scatter op scales
     # linearly with CAP, so size it to the workload (trainer auto-bumps on
     # overflow; here the workload is fixed at ~3.8M padded instances)
-    CAP = 2_621_440
+    CAP = 2_490_368
 
     rng = np.random.default_rng(0)
     cam = Camera(uid=0, colmap_id=0, image_name="bench",

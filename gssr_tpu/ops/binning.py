@@ -30,7 +30,8 @@ class Binning(NamedTuple):
 
 
 def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
-                  instance_cap: int, chunk: int = 1) -> Binning:
+                  instance_cap: int, chunk: int = 1,
+                  tile_mask=None) -> Binning:
     """Build the depth-sorted per-tile instance list.
 
     Args:
@@ -42,6 +43,11 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
         kernels own aligned [*, chunk] slices exclusively (race-free DMA
         writes in the backward). Padding slots have valid=False and blend
         as alpha=0, so they are exact no-ops in fwd and produce zero grads.
+      tile_mask: optional [N] int32 intersect bitmask over the first
+        MASK_TILES rect tiles (projection.tile_intersect_mask). When given,
+        tiles_touched must be the matching exact count and instances
+        enumerate only the set bits (rect tiles past MASK_TILES follow
+        unconditionally).
     """
     num_tiles = tiles_x * tiles_y
     n = depth.shape[0]
@@ -66,19 +72,28 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
 
     # one packed gather for all per-gaussian fields; the rect fits in one
     # int32 with 10-bit fields (supports images up to 1024 tiles per axis
-    # = 16k pixels), so 3 columns instead of 5
+    # = 16k pixels), so 3-4 columns instead of 5+
     assert tiles_x <= 1024 and tiles_y <= 1024, "rect pack field overflow"
     rect_pack = (rect[:, 0] | (rect[:, 1] << 10)
                  | (jnp.maximum(rect[:, 2] - rect[:, 0], 1) << 20))
-    recs = jnp.stack([
-        rect_pack, starts.astype(jnp.int32),
-        jax.lax.bitcast_convert_type(depth.astype(jnp.float32), jnp.int32),
-    ], axis=1)                                           # [N,3] int32
-    r = recs[g_c]                                        # [I,3]
+    cols = [rect_pack, starts.astype(jnp.int32),
+            jax.lax.bitcast_convert_type(depth.astype(jnp.float32),
+                                         jnp.int32)]
+    if tile_mask is not None:
+        cols.append(tile_mask.astype(jnp.int32))
+    recs = jnp.stack(cols, axis=1)                       # [N,3 or 4] int32
+    r = recs[g_c]                                        # [I,*]
     x0 = r[:, 0] & 0x3FF
     y0 = (r[:, 0] >> 10) & 0x3FF
     rw = (r[:, 0] >> 20) & 0x3FF
     local = ii - r[:, 1]
+    if tile_mask is not None:
+        # exact-intersection bit for this rect position; positions past the
+        # mask width pass unconditionally. Culled instances keep their
+        # allocated slot (mapping stays trivial) but take the sentinel tile
+        # and sort to the end, so no blend range ever includes them.
+        hit = ((r[:, 3] >> jnp.minimum(local, 31)) & 1) == 1
+        valid = valid & (hit | (local >= 32))
     tx = x0 + local % rw
     ty = y0 + local // rw
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)

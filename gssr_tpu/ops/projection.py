@@ -32,6 +32,73 @@ class Projected(NamedTuple):
     rect: jnp.ndarray       # [N,4] int32 tile rect (x0, y0, x1, y1), exclusive max
     tiles_touched: jnp.ndarray  # [N] int32
     cov2d: jnp.ndarray      # [N,3] 2D covariance (xx, xy, yy) pre-inversion
+    tile_mask: jnp.ndarray = None  # [N] int32 intersect bits (see tile_intersect_mask)
+
+
+MASK_TILES = 32  # rect tiles covered by the per-gaussian intersect bitmask
+
+
+def tile_intersect_mask(mean2d, conic, rect, cutoff, visible):
+    """Which of the first MASK_TILES rect tiles the alpha>=1/255 ellipse
+    actually touches (row-major within the rect).
+
+    The bbox rect conservatively covers the ellipse; its corner tiles often
+    contain no pixel above the threshold, yet each costs a full binning
+    instance. The minimum of the convex conic quadratic over a tile's
+    pixel-center box is EXACT: zero if the mean lies inside, else the best
+    of the four closed-form edge minima — so culling only removes tiles
+    whose every pixel is below the kernel's alpha cut.
+    Returns (mask [N] int32, exact_count [N] int32); rect tiles beyond
+    MASK_TILES are counted as hits unconditionally.
+    """
+    x0, y0 = rect[..., 0], rect[..., 1]
+    # empty rects (off-screen clamp) must stay empty — the reference's
+    # getRect culls these too; only the divisor needs the >=1 guard
+    area = (rect[..., 2] - x0) * (rect[..., 3] - y0)
+    w = jnp.maximum(rect[..., 2] - x0, 1)
+    mx, my = mean2d[..., 0], mean2d[..., 1]
+    cxx, cxy, cyy = conic[..., 0], conic[..., 1], conic[..., 2]
+    cxx_s = jnp.maximum(cxx, 1e-12)
+    cyy_s = jnp.maximum(cyy, 1e-12)
+    rx = cxy / cxx_s
+    ry = cxy / cyy_s
+
+    mask = jnp.zeros_like(x0)
+    for p in range(MASK_TILES):
+        tx = x0 + jnp.mod(p, w)
+        ty = y0 + p // w
+        bx0 = (tx * TILE).astype(jnp.float32)
+        by0 = (ty * TILE).astype(jnp.float32)
+        bx1 = bx0 + (TILE - 1)
+        by1 = by0 + (TILE - 1)
+
+        def q_of(px, py):
+            dx = px - mx
+            dy = py - my
+            return 0.5 * (cxx * dx * dx + cyy * dy * dy) + cxy * dx * dy
+
+        # exact min over the box: 0 inside, else best of the 4 edge minima
+        q = jnp.minimum(
+            jnp.minimum(
+                q_of(bx0, jnp.clip(my - ry * (bx0 - mx), by0, by1)),
+                q_of(bx1, jnp.clip(my - ry * (bx1 - mx), by0, by1))),
+            jnp.minimum(
+                q_of(jnp.clip(mx - rx * (by0 - my), bx0, bx1), by0),
+                q_of(jnp.clip(mx - rx * (by1 - my), bx0, bx1), by1)))
+        inside = (mx >= bx0) & (mx <= bx1) & (my >= by0) & (my <= by1)
+        q = jnp.where(inside, 0.0, q)
+        hit = (p < jnp.minimum(area, MASK_TILES)) & (q <= cutoff) & visible
+        mask = mask | (hit.astype(jnp.int32) << p)
+    pc = _popcount32(mask)
+    count = pc + jnp.maximum(area - MASK_TILES, 0) * visible.astype(jnp.int32)
+    return mask, count
+
+
+def _popcount32(x):
+    x = x - ((x >> 1) & 0x55555555)
+    x = (x & 0x33333333) + ((x >> 2) & 0x33333333)
+    x = (x + (x >> 4)) & 0x0F0F0F0F
+    return (x * 0x01010101) >> 24
 
 
 def ndc_to_pix(v, size):
@@ -178,10 +245,26 @@ def preprocess(means3d, scales, rotations, camera, width, height,
     zero = jnp.zeros_like(rx)
     rect = tile_rect(mean2d, jnp.where(visible, rx, zero), tiles_x, tiles_y,
                      jnp.where(visible, ry, zero))
+    # exact per-tile ellipse intersection bits: rect tiles without any
+    # pixel at alpha >= 1/255 become sentinel instances in binning (they
+    # still allocate a slot — that keeps the expansion mapping trivial —
+    # but they sort to the end, shrinking every per-tile blend range).
+    # The test cutoff is the kernel's own uncapped alpha cut
+    # (power <= ln(255*op)), NOT the 3-sigma rect cap, so the blend output
+    # matches the rect-only enumeration exactly.
+    if opacity is None:
+        cutoff = 0.5 * 3.0 * 3.0
+    else:
+        cutoff = jnp.log(jnp.maximum(
+            jax.lax.stop_gradient(opacity.reshape(-1)) * 255.0, 1.0 + 1e-6))
+    mask, _exact = tile_intersect_mask(
+        jax.lax.stop_gradient(mean2d), jax.lax.stop_gradient(conic),
+        rect, cutoff, visible)
     tiles = (rect[..., 2] - rect[..., 0]) * (rect[..., 3] - rect[..., 1])
     tiles = jnp.where(visible, tiles, 0).astype(jnp.int32)
     # zero the rect extent for culled gaussians so binning skips them
     radius = jnp.where(tiles > 0, radius, 0)
 
     return Projected(mean2d=mean2d, conic=conic, depth=depth, radius=radius,
-                     rect=rect, tiles_touched=tiles, cov2d=cov2d)
+                     rect=rect, tiles_touched=tiles, cov2d=cov2d,
+                     tile_mask=mask)

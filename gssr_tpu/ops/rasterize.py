@@ -100,7 +100,8 @@ def rasterize(means3d, scales, rotations, opacity, camera,
         jax.lax.stop_gradient(proj.rect),
         jax.lax.stop_gradient(proj.depth),
         jax.lax.stop_gradient(proj.tiles_touched),
-        pw // TILE, ph // TILE, instance_cap, chunk=chunk)
+        pw // TILE, ph // TILE, instance_cap, chunk=chunk,
+        tile_mask=proj.tile_mask)
 
     opacity = opacity.reshape(-1)
     image, final_T = _blend_dispatch(proj.mean2d, proj.conic, color, opacity,
