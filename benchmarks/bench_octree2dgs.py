@@ -1,0 +1,76 @@
+#!/usr/bin/env python
+"""BASELINE north-star method: Octree-2DGS — LOD anchor gating + MLP decode
++ surfel rasterization with distortion/normal losses, fwd+bwd, one chip.
+
+Reference workload: OctreeScene.set_anchor_mask + generate_neural_gaussians
+truncated to 2 scales + diff-surfel-rasterization (reference
+gssr/scene/octree_scene.py:174-185, scaffold_2dgs_scene.py:14-19).
+"""
+from __future__ import annotations
+
+import sys, os
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import numpy as np
+from benchmarks.common import W, H, make_camera, make_cloud, time_step, emit
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+    from gssr_tpu.models.octree import OctreeGaussianConfig, OctreeGaussians
+    from gssr_tpu.ops.rasterize2d import rasterize_2d
+    from gssr_tpu.ops.projection import preprocess
+    from gssr_tpu.ops.rasterize import pad_to_tiles
+    from gssr_tpu.scene.twodgs import surfel_reg_losses
+
+    CAP = 1 << 22
+    rng = np.random.default_rng(0)
+    pts = rng.uniform(-3, 3, (80_000, 3)) * np.array([1.5, 1.0, 1.0])
+    cams = [make_camera(i, dist=3.0 + i * 0.5, yaw=0.3 * i)
+            for i in range(4)]
+    cfg = OctreeGaussianConfig()
+    g = OctreeGaussians(cfg, spatial_lr_scale=2.0, num_cameras=4)
+    state = g.create_from_points(pts, cameras=cams, capacity=1 << 17)
+    g.set_coarse_interval(1, 1.0)      # fully progressive-free
+    cam = cams[0]
+    camarr = cam.arrays()
+    tgt = make_cloud()["tgt"]
+    bg = jnp.zeros(3, jnp.float32)
+    pw, ph = pad_to_tiles(W, H)
+    step_c = jnp.asarray(20000.0, jnp.float32)
+
+    def loss_fn(anchors, mlp, state_rest):
+        st = state._replace(anchors=anchors, mlp=mlp)
+        extra_mask, gate = g.pred_int_level(st, camarr.campos, step_c, True)
+        active = st.active & (extra_mask if extra_mask is not None
+                              else True)
+        proj = preprocess(anchors.anchor, jnp.exp(anchors.scaling[:, :3]),
+                          g.get_rotation(anchors), camarr, pw, ph,
+                          active_mask=active)
+        visible = proj.radius > 0
+        ng = g.decode(anchors, mlp, camarr.campos, 0, visible, active,
+                      level_scale_gate=gate)
+        out = rasterize_2d(ng.xyz, ng.scaling[:, :2], ng.rotation,
+                           ng.opacity, camarr, W, H, bg,
+                           colors_precomp=ng.color, active_mask=ng.mask,
+                           instance_cap=CAP, backend="pallas",
+                           depth_ratio=0.0)
+        l1 = jnp.mean(jnp.abs(out.image - tgt))
+        reg = surfel_reg_losses(out, camarr, 8000, 0.05, 100.0)
+        return l1 + sum(reg.values()), out.num_rendered
+
+    step = jax.jit(jax.value_and_grad(loss_fn, argnums=(0, 1),
+                                      has_aux=True))
+    args = (state.anchors, state.mlp, 0)
+    dt = time_step(step, args, readback=lambda o: float(o[0][0]))
+    (loss, nrend), _ = step(*args)
+    emit("octree2dgs_fwd_bwd_mpix_per_s", (W * H / 1e6) / dt,
+         {"W": W, "H": H, "n_anchors": int(state.n_active),
+          "levels": int(np.asarray(state.level).max()) + 1,
+          "num_rendered": int(nrend), "step_ms": round(dt * 1e3, 2),
+          "loss": float(loss)})
+
+
+if __name__ == "__main__":
+    main()

@@ -115,7 +115,10 @@ class OctreeGaussians(ScaffoldGaussians):
         num_level = self.levels - 1 - self.init_level
         if num_level > 0:
             q = 1.0 / coarse_factor
-            a1 = coarse_iter * (1 - q) / (1 - q ** num_level)
+            if abs(1.0 - q) < 1e-9:         # uniform spacing limit
+                a1 = coarse_iter / num_level
+            else:
+                a1 = coarse_iter * (1 - q) / (1 - q ** num_level)
             acc = 0.0
             for i in range(num_level):
                 acc += a1 * q ** i
