@@ -26,12 +26,12 @@ def main():
 
     CAP = 1 << 22
     rng = np.random.default_rng(0)
-    pts = rng.uniform(-3, 3, (80_000, 3)) * np.array([1.5, 1.0, 1.0])
+    pts = rng.uniform(-3, 3, (60_000, 3)) * np.array([1.5, 1.0, 1.0])
     cams = [make_camera(i, dist=3.0 + i * 0.5, yaw=0.3 * i)
             for i in range(4)]
     cfg = OctreeGaussianConfig()
     g = OctreeGaussians(cfg, spatial_lr_scale=2.0, num_cameras=4)
-    state = g.create_from_points(pts, cameras=cams, capacity=1 << 17)
+    state = g.create_from_points(pts, cameras=cams, capacity=1 << 18)
     g.set_coarse_interval(1, 1.0)      # fully progressive-free
     cam = cams[0]
     camarr = cam.arrays()

@@ -27,6 +27,7 @@ class Binning(NamedTuple):
     tile_ranges: jnp.ndarray   # [num_tiles + 1] int32 start offsets per tile
     num_rendered: jnp.ndarray  # [] int32 total valid instances (pre-clamp)
     overflow: jnp.ndarray      # [] bool — true if capacity was exceeded
+    tile_counts: jnp.ndarray = None  # [num_tiles] int32 REAL (unpadded) counts
 
 
 def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
@@ -113,7 +114,8 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
                        valid=sorted_tile < num_tiles,
                        tile_ranges=tile_ranges,
                        num_rendered=jnp.minimum(num_rendered, instance_cap),
-                       overflow=num_rendered > instance_cap)
+                       overflow=num_rendered > instance_cap,
+                       tile_counts=tile_ranges[1:] - tile_ranges[:-1])
 
     # --- move into chunk-aligned per-tile ranges (gather formulation) ----
     assert instance_cap % chunk == 0, "instance_cap must be chunk-aligned"
@@ -160,4 +162,4 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
     return Binning(gauss_id=gauss_p, tile_of=tile_p, valid=in_range,
                    tile_ranges=padded_starts,
                    num_rendered=jnp.minimum(num_rendered, instance_cap),
-                   overflow=overflow)
+                   overflow=overflow, tile_counts=counts)

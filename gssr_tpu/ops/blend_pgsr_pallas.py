@@ -50,7 +50,7 @@ P_OP = 5
 P_RGB = 6         # 6-8
 P_NRM = 9         # 9-11 camera-space normal
 P_DIST = 12       # plane distance
-P_VALID = 13
+P_OBS = 13        # zero input; bwd writes per-instance observe counts here
 P_ABSX, P_ABSY = 14, 15   # zero inputs; bwd writes |mean2d grad| here
 NUM_ATTRS_P = 16
 
@@ -64,7 +64,11 @@ OUTP_ROWS = 8
 OBS_ROWS = 8      # observe output sublane padding; row 0 used
 
 
-def _chunk_alpha_p(A, px, py):
+def _chunk_alpha_p(A, px, py, lane_ok):
+    """lane_ok (1, CHUNK): lane < tile's real instance count — validity
+    comes from the scalar-prefetched counts, freeing the attr row that the
+    other payloads spend on a valid flag (row 13 carries observe instead).
+    """
     r = lambda i: A[i:i + 1, :]
     dx = r(P_MX) - px
     dy = r(P_MY) - py
@@ -73,17 +77,19 @@ def _chunk_alpha_p(A, px, py):
     g_exp = jnp.exp(power)
     raw = r(P_OP) * g_exp
     alpha = jnp.minimum(ALPHA_MAX, raw)
-    ok = (r(P_VALID) > 0.5) & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    ok = lane_ok & (power <= 0.0) & (alpha >= ALPHA_MIN)
     a = jnp.where(ok, alpha, 0.0)
     return a, (dx, dy, g_exp, raw, ok)
 
 
-def _fwdp_kernel(tiles_x, ranges_ref, attrs_ref, out_ref, obs_ref,
-                 abuf, obuf, acc_ref, state_ref, sem, obs_sem):
+def _fwdp_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, out_ref,
+                 obs_ref, abuf, obuf, acc_ref, state_ref, sem, obs_sem):
     t = pl.program_id(0)
     start = pl.multiple_of(ranges_ref[t], CHUNK)
     end = ranges_ref[t + 1]
     nchunks = (end - start) // CHUNK
+    count = counts_ref[t]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
     px, py = _pixel_cols(t, tiles_x)
     acc_ref[:] = jnp.zeros((PIX, OUTP_ROWS), jnp.float32)
@@ -122,7 +128,7 @@ def _fwdp_kernel(tiles_x, ranges_ref, attrs_ref, out_ref, obs_ref,
         @pl.when(alive)
         def _():
             A = abuf[slot]
-            a, _extras = _chunk_alpha_p(A, px, py)
+            a, _extras = _chunk_alpha_p(A, px, py, lane + k * CHUNK < count)
             one_m = 1.0 - a
             pfx = _prefix_prod_excl_lanes(one_m)
             d_before = state_ref[:, 0:1] * pfx
@@ -166,12 +172,14 @@ def _fwdp_kernel(tiles_x, ranges_ref, attrs_ref, out_ref, obs_ref,
     out_ref[0, :, :] = acc_ref[:, :]
 
 
-def _bwdp_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
-                 abuf, dbuf, state_ref, in_sem, out_sem):
+def _bwdp_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, fwd_ref,
+                 cot_ref, dattr_ref, abuf, dbuf, state_ref, in_sem, out_sem):
     t = pl.program_id(0)
     start = pl.multiple_of(ranges_ref[t], CHUNK)
     end = ranges_ref[t + 1]
     nchunks = (end - start) // CHUNK
+    count = counts_ref[t]
+    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
 
     px, py = _pixel_cols(t, tiles_x)
     dC = cot_ref[0, :, PO_RGB:PO_RGB + 3]       # (PIX, 3)
@@ -230,7 +238,8 @@ def _bwdp_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
         @pl.when(alive)
         def _():
             A = abuf[slot]
-            a, (dx, dy, g_exp, raw, ok) = _chunk_alpha_p(A, px, py)
+            a, (dx, dy, g_exp, raw, ok) = _chunk_alpha_p(
+                A, px, py, lane + k * CHUNK < count)
             one_m = 1.0 - a
             pfx = _prefix_prod_excl_lanes(one_m)
             d_before = state_ref[:, 0:1] * pfx
@@ -261,7 +270,10 @@ def _bwdp_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
                     + [s(w * dC[:, c:c + 1]) for c in range(3)]
                     + [s(w * dN[:, c:c + 1]) for c in range(3)]
                     + [s(w * dDist),
-                       jnp.zeros((1, CHUNK), jnp.float32),
+                       # observe counts ride the gradient scatter for free
+                       # (forward.cu:380-383 out_observe, but gathered on
+                       # the backward's existing per-gaussian reduction)
+                       s(jnp.where(contrib & (d_before > 0.5), 1.0, 0.0)),
                        s(jnp.abs(gx)), s(jnp.abs(gy))])
             dbuf[slot] = jnp.concatenate(rows, axis=0)
             state_ref[:, 2:3] = state_ref[:, 2:3] + jnp.sum(
@@ -290,11 +302,11 @@ def _bwdp_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
 # wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-def _run_fwdp(attrs, ranges, tiles_x: int, tiles_y: int):
+def _run_fwdp(attrs, ranges, counts, tiles_x: int, tiles_y: int):
     num_tiles = tiles_x * tiles_y
     I = attrs.shape[1]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=(
@@ -320,13 +332,14 @@ def _run_fwdp(attrs, ranges, tiles_x: int, tiles_y: int):
         grid_spec=grid_spec,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ranges, attrs)
+    )(ranges, counts, attrs)
 
 
-def _run_bwdp(attrs, ranges, fwd_out, cot, tiles_x: int, tiles_y: int):
+def _run_bwdp(attrs, ranges, counts, fwd_out, cot, tiles_x: int,
+              tiles_y: int):
     num_tiles = tiles_x * tiles_y
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -350,7 +363,7 @@ def _run_bwdp(attrs, ranges, fwd_out, cot, tiles_x: int, tiles_y: int):
         grid_spec=grid_spec,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ranges, attrs, fwd_out, cot)
+    )(ranges, counts, attrs, fwd_out, cot)
 
 
 def _tiles_to_rows(out, tiles_x, tiles_y):
@@ -366,40 +379,45 @@ def _rows_to_tiles(rows, tiles_x, tiles_y):
     return x.reshape(tiles_y * tiles_x, PIX, OUTP_ROWS)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _blendp_core(attrs, ranges, tiles_x, tiles_y):
-    out, obs = _run_fwdp(attrs, ranges, tiles_x, tiles_y)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _blendp_core(attrs, ranges, counts, tiles_x, tiles_y):
+    out, obs = _run_fwdp(attrs, ranges, counts, tiles_x, tiles_y)
     return _tiles_to_rows(out, tiles_x, tiles_y), obs
 
 
-def _blendp_core_fwd(attrs, ranges, tiles_x, tiles_y):
-    out, obs = _run_fwdp(attrs, ranges, tiles_x, tiles_y)
+def _blendp_core_fwd(attrs, ranges, counts, tiles_x, tiles_y):
+    out, obs = _run_fwdp(attrs, ranges, counts, tiles_x, tiles_y)
     return (_tiles_to_rows(out, tiles_x, tiles_y), obs), \
-        (attrs, ranges, out)
+        (attrs, ranges, counts, out)
 
 
 def _blendp_core_bwd(tiles_x, tiles_y, res, cotangents):
-    attrs, ranges, fwd_out = res
+    attrs, ranges, counts, fwd_out = res
     g_rows, _g_obs = cotangents            # observe output: no gradient
     cot = _rows_to_tiles(g_rows, tiles_x, tiles_y)
-    dattrs = _run_bwdp(attrs, ranges, fwd_out, cot, tiles_x, tiles_y)
-    dattrs = jnp.where(attrs[P_VALID:P_VALID + 1, :] > 0.5, dattrs, 0.0)
-    return dattrs, np.zeros(ranges.shape, jax.dtypes.float0)
+    dattrs = _run_bwdp(attrs, ranges, counts, fwd_out, cot, tiles_x, tiles_y)
+    # slots past the last padded range are never DMA-written — mask them
+    ii = jnp.arange(attrs.shape[1], dtype=jnp.int32)
+    dattrs = jnp.where(ii[None, :] < ranges[-1], dattrs, 0.0)
+    return (dattrs, np.zeros(ranges.shape, jax.dtypes.float0),
+            np.zeros(counts.shape, jax.dtypes.float0))
 
 
 _blendp_core.defvjp(_blendp_core_fwd, _blendp_core_bwd)
 
 
 def pack_instance_attrs_pgsr(mean2d, conic, color, opacity, normal, distance,
-                             abs_dummy, binning: Binning):
-    """abs_dummy: [N,2] zeros — its gather VJP receives the abs grads.
+                             obs_dummy, abs_dummy, binning: Binning):
+    """obs_dummy [N,1] / abs_dummy [N,2] zeros — their gather-VJP columns
+    receive the per-gaussian observe counts and abs screen grads (both
+    written by the backward kernel), riding the one scatter-add that the
+    real gradients already pay for. Validity is NOT an attr row here: the
+    kernels derive it from the scalar-prefetched per-tile counts.
     Single packed [N, A] gather (see vanilla pack_instance_attrs)."""
-    n = mean2d.shape[0]
     per_gauss = jnp.concatenate([
         mean2d, conic, opacity[:, None], color, normal, distance[:, None],
-        jnp.zeros((n, 1), jnp.float32), abs_dummy], axis=1)
-    gathered = per_gauss[binning.gauss_id]
-    return gathered.T.at[P_VALID].set(binning.valid.astype(jnp.float32))
+        obs_dummy, abs_dummy], axis=1)
+    return per_gauss[binning.gauss_id].T
 
 
 class PlanarMaps:
@@ -412,11 +430,12 @@ class PlanarMaps:
 
 
 def blend_pgsr_pallas(mean2d, conic, color, opacity, normal, distance,
-                      abs_dummy, binning: Binning,
+                      obs_dummy, abs_dummy, binning: Binning,
                       width: int, height: int) -> PlanarMaps:
     assert width % TILE == 0 and height % TILE == 0
     tiles_x, tiles_y = width // TILE, height // TILE
     attrs = pack_instance_attrs_pgsr(mean2d, conic, color, opacity, normal,
-                                     distance, abs_dummy, binning)
-    rows, obs = _blendp_core(attrs, binning.tile_ranges, tiles_x, tiles_y)
+                                     distance, obs_dummy, abs_dummy, binning)
+    rows, obs = _blendp_core(attrs, binning.tile_ranges,
+                             binning.tile_counts, tiles_x, tiles_y)
     return PlanarMaps(rows, obs)

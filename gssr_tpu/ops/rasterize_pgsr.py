@@ -52,9 +52,14 @@ def rasterize_pgsr(means3d, scales, rotations, opacity, camera,
                    active_mask=None, scaling_modifier: float = 1.0,
                    instance_cap: int = 1 << 18, backend: str = "pallas",
                    mean2d_offset=None,
-                   mean2d_abs_offset=None) -> RenderPGSROutput:
+                   mean2d_abs_offset=None,
+                   observe_offset=None) -> RenderPGSROutput:
     """mean2d_abs_offset: [N,2] zeros; take d(loss)/d(it) to read the abs
-    screen-gradient statistics (replaces means2D_abs retain_grad)."""
+    screen-gradient statistics (replaces means2D_abs retain_grad).
+    observe_offset: [N,1] zeros; its gradient channel carries the
+    per-gaussian out_observe counts computed by the backward kernel — on
+    training steps this replaces the forward segment-sum (which XLA then
+    dead-code-eliminates when `observe` goes unused)."""
     pw, ph = pad_to_tiles(width, height)
     proj = preprocess(means3d, scales, rotations, camera, pw, ph,
                       scaling_modifier=scaling_modifier,
@@ -64,6 +69,8 @@ def rasterize_pgsr(means3d, scales, rotations, opacity, camera,
         proj = proj._replace(mean2d=proj.mean2d + mean2d_offset)
     if mean2d_abs_offset is None:
         mean2d_abs_offset = jnp.zeros_like(proj.mean2d)
+    if observe_offset is None:
+        observe_offset = jnp.zeros_like(proj.mean2d[:, :1])
 
     if colors_precomp is not None:
         color = colors_precomp
@@ -94,8 +101,8 @@ def rasterize_pgsr(means3d, scales, rotations, opacity, camera,
     if backend == "pallas":
         from gssr_tpu.ops.blend_pgsr_pallas import blend_pgsr_pallas
         maps = blend_pgsr_pallas(proj.mean2d, proj.conic, color, opacity,
-                                 normal_c, distance, mean2d_abs_offset,
-                                 binning, pw, ph)
+                                 normal_c, distance, observe_offset,
+                                 mean2d_abs_offset, binning, pw, ph)
         obs_inst = maps.observe_inst[0, :]
         observe = jax.ops.segment_sum(
             jnp.where(binning.valid, obs_inst, 0.0),
@@ -108,7 +115,8 @@ def rasterize_pgsr(means3d, scales, rotations, opacity, camera,
         # route the abs-offset gradient like the pallas path: constant-fold
         # zero contribution keeps the signature differentiable
         out = blend_pgsr_reference(
-            proj.mean2d + 0.0 * mean2d_abs_offset, proj.conic, color,
+            proj.mean2d + 0.0 * (mean2d_abs_offset + observe_offset),
+            proj.conic, color,
             opacity, normal_c, distance, binning.gauss_id, binning.tile_of,
             pw, ph)
         color_map, final_T = out.color, out.final_T

@@ -70,7 +70,7 @@ class PGSRScene(VanillaScene):
 
     # ------------------------------------------------------------------
     def render_pgsr(self, params, camera, sh_degree, active, bg,
-                    m2d=None, m2d_abs=None):
+                    m2d=None, m2d_abs=None, obs_off=None):
         g = self.gaussians
         return rasterize_pgsr(
             params.xyz, g.get_scaling(params), g.get_rotation(params),
@@ -80,7 +80,8 @@ class PGSRScene(VanillaScene):
             scaling_modifier=self.config.scaling_modifier,
             instance_cap=self.config.instance_cap,
             backend=self.config.backend,
-            mean2d_offset=m2d, mean2d_abs_offset=m2d_abs)
+            mean2d_offset=m2d, mean2d_abs_offset=m2d_abs,
+            observe_offset=obs_off)
 
     def depth_normal(self, plane_depth, alpha, camera):
         """Unprojected-depth normal scaled by detached alpha
@@ -211,9 +212,9 @@ class PGSRScene(VanillaScene):
         cfg = self.config
         N = state.params.xyz.shape[0]
 
-        def loss_fn(params, m2d, m2d_abs):
+        def loss_fn(params, m2d, m2d_abs, obs_off):
             out = self.render_pgsr(params, camera, sh_degree, state.active,
-                                   bg, m2d, m2d_abs)
+                                   bg, m2d, m2d_abs, obs_off)
             lam = cfg.lambda_dssim
             terms = {
                 "L1_loss": (1.0 - lam) * l1_loss(out.image, gt),
@@ -238,15 +239,21 @@ class PGSRScene(VanillaScene):
             return sum(terms.values()), (out, terms)
 
         zeros2d = jnp.zeros((N, 2), jnp.float32)
-        (loss, (out, terms)), (pgrads, m2d_g, m2d_abs_g) = jax.value_and_grad(
-            loss_fn, argnums=(0, 1, 2), has_aux=True)(
-                state.params, zeros2d, zeros2d)
+        (loss, (out, terms)), (pgrads, m2d_g, m2d_abs_g, obs_g) = \
+            jax.value_and_grad(
+                loss_fn, argnums=(0, 1, 2, 3), has_aux=True)(
+                    state.params, zeros2d, zeros2d,
+                    jnp.zeros((N, 1), jnp.float32))
 
+        # pallas: observe rides the backward's gradient scatter (the
+        # forward segment-sum is then dead code); reference: forward value
+        observe = (obs_g[:, 0] if self.config.backend == "pallas"
+                   else out.observe)
         lrs = g.learning_rates(step)
         new_params, new_adam = g.adam_step(state.params, pgrads, state.adam,
                                            lrs)
         new_stats, new_extra = g.update_stats_pgsr(
-            state.stats, extra, out.radii, m2d_g, m2d_abs_g, out.observe)
+            state.stats, extra, out.radii, m2d_g, m2d_abs_g, observe)
         new_state = state._replace(params=new_params, adam=new_adam,
                                    stats=new_stats)
         metrics = dict(terms)

@@ -110,3 +110,25 @@ def test_plane_depth_flat_plane(rng):
     center = np.asarray(out.plane_depth)[14:18, 14:18]
     assert np.allclose(center, 4.0, atol=0.2), center
     assert np.asarray(out.observe).sum() > 0
+
+def test_observe_gradient_channel_matches_forward(rng):
+    """The backward's observe side-channel equals the forward out_observe."""
+    import jax
+    import jax.numpy as jnp
+    from gssr_tpu.ops.rasterize_pgsr import rasterize_pgsr
+    cam = make_camera(w=32, h=32)
+    scene = random_scene(rng, 24)
+    means, scales, rots, opac, colors = scene
+    tgt = jnp.asarray(rng.uniform(0, 1, size=(32, 32, 3)), jnp.float32)
+
+    def loss(obs_off):
+        out = rasterize_pgsr(means, scales, rots, opac, cam.arrays(), 32, 32,
+                             jnp.zeros(3), colors_precomp=colors,
+                             backend="pallas", instance_cap=2048,
+                             observe_offset=obs_off)
+        return jnp.mean((out.image - tgt) ** 2), out.observe
+
+    obs0 = jnp.zeros((means.shape[0], 1), jnp.float32)
+    (_, fwd_obs), obs_g = jax.value_and_grad(loss, has_aux=True)(obs0)
+    np.testing.assert_allclose(np.asarray(obs_g[:, 0]), np.asarray(fwd_obs),
+                               atol=1e-5)
