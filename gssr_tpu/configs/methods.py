@@ -179,7 +179,7 @@ def _config_classes():
         ("gssr_tpu.scene.scaffold_2dgs", ["Scaffold2DGSSceneConfig"]),
         ("gssr_tpu.scene.octree_2dgs", ["Octree2DGSSceneConfig"]),
         ("gssr_tpu.models.pgsr", ["PGSRGaussianConfig"]),
-        ("gssr_tpu.scene.pgsr", ["PGSRSceneConfig", "PGSRDataLoaderConfig"]),
+        ("gssr_tpu.scene.pgsr", ["PGSRSceneConfig"]),
         ("gssr_tpu.scene.scaffold_pgsr", ["ScaffoldPGSRSceneConfig"]),
         ("gssr_tpu.scene.octree_pgsr", ["OctreePGSRSceneConfig"]),
     ]:

@@ -163,11 +163,27 @@ class ColmapDataLoader:
             [1.0, 1.0, 1.0] if config.white_background else [0.0, 0.0, 0.0],
             dtype=np.float32)
         self._stack: List[Camera] = []
+        # sampler position for deterministic checkpoint/resume: the sampler
+        # state is fully determined by (post-shuffle rng state, #draws), so
+        # resume replays `draws` pops instead of pickling RNG internals
+        self._rng_state0 = self.rng.getstate()
+        self.draws = 0
 
     def next_train(self) -> Camera:
         if not self._stack:
             self._stack = list(self.train_cameras)
+        self.draws += 1
         return self._stack.pop(self.rng.randint(0, len(self._stack) - 1))
+
+    def restore_sampler(self, draws: int):
+        """Rewind to the post-init state and replay `draws` pops so a
+        resumed run sees the same camera sequence as the uninterrupted one
+        (the reference cannot do this; SURVEY §5 flags it)."""
+        self.rng.setstate(self._rng_state0)
+        self._stack = []
+        self.draws = 0
+        for _ in range(int(draws)):
+            self.next_train()
 
     def get_training_callbacks(self):
         return []

@@ -63,15 +63,31 @@ class Trainer:
         t0 = time.time()
         ema_loss = None
         mpix_acc = 0.0
+        callbacks = list(getattr(scene, "get_training_callbacks",
+                                 lambda t: [])(self) or [])
+        prev_overflow = None    # device flag from the previous step
 
         for step in range(self.start_step + 1, tcfg.iterations + 1):
             if tcfg.profile_dir and tcfg.profile_steps \
                     and step == tcfg.profile_steps[0]:
                 import jax.profiler
                 jax.profiler.start_trace(tcfg.profile_dir)
+            for cb in callbacks:
+                cb.run_callback_at_location(
+                    step, TrainingCallbackLocation.BEFORE_TRAIN_ITERATION)
             camera = scene.dataloader.next_train()
             state, metrics = scene.train_step(state, camera, step)
             mpix_acc += camera.width * camera.height / 1e6
+            # Overflow is checked EVERY step, one step delayed: we sync on
+            # the previous step's flag while the current step is already
+            # enqueued, so the device queue never drains. (The reference
+            # resizes its binning buffers lazily inside the CUDA launch.)
+            if prev_overflow is not None and bool(prev_overflow):
+                new_cap = scene.bump_instance_cap()
+                print(f"[warn] instance buffer overflow at step {step - 1}; "
+                      f"auto-bumped instance_cap to {new_cap} "
+                      "(next step recompiles)")
+            prev_overflow = metrics.get("overflow")
             if tcfg.profile_dir and len(tcfg.profile_steps) > 1 \
                     and step == tcfg.profile_steps[1]:
                 import jax
@@ -85,12 +101,6 @@ class Trainer:
                 loss = m.get("loss", 0.0)
                 ema_loss = loss if ema_loss is None else \
                     0.6 * ema_loss + 0.4 * loss
-                if m.get("overflow"):
-                    new_cap = scene.bump_instance_cap()
-                    print(f"[warn] instance buffer overflow at step {step} "
-                          f"(rendered {int(m.get('num_rendered', 0))}); "
-                          f"auto-bumped instance_cap to {new_cap} "
-                          "(next step recompiles)")
                 if self.writer is not None:
                     for k, v in m.items():
                         self.writer.add_scalar(f"train/{k}", v, step)
@@ -121,6 +131,10 @@ class Trainer:
             if step in tcfg.checkpoint_iterations:
                 self.save_checkpoint(state, step)
 
+            for cb in callbacks:
+                cb.run_callback_at_location(
+                    step, TrainingCallbackLocation.AFTER_TRAIN_ITERATION)
+
         scene.state = state
         return state
 
@@ -135,8 +149,13 @@ class Trainer:
         self.ckpt_dir.mkdir(parents=True, exist_ok=True)
         leaves, _ = _flatten_state(state)
         path = self.ckpt_dir / f"ckpt_{step:07d}.npz"
+        # scene-side auxiliary state (PRNG key, PGSR extra_stats, ...)
+        # rides along so kill-and-resume reproduces the full trajectory
+        aux_leaves, _ = _flatten_state(self.scene.aux_state())
         np.savez(path, step=step,
-                 **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)})
+                 **{f"leaf_{i}": np.asarray(l) for i, l in enumerate(leaves)},
+                 **{f"aux_{i}": np.asarray(l)
+                    for i, l in enumerate(aux_leaves)})
         if self.config.trainer.save_only_latest_checkpoint:
             for p in sorted(self.ckpt_dir.glob("ckpt_*.npz"))[:-1]:
                 p.unlink()
@@ -157,6 +176,11 @@ class Trainer:
         n = len([k for k in data.files if k.startswith("leaf_")])
         leaves = [data[f"leaf_{i}"] for i in range(n)]
         self.scene.state = jax.tree.unflatten(treedef, leaves)
+        n_aux = len([k for k in data.files if k.startswith("aux_")])
+        if n_aux:
+            _, aux_def = _flatten_state(self.scene.aux_state())
+            self.scene.restore_aux(jax.tree.unflatten(
+                aux_def, [data[f"aux_{i}"] for i in range(n_aux)]))
         print(f"resumed from {path} at step {self.start_step}")
 
     def _load_gaussians(self):

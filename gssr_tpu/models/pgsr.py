@@ -46,13 +46,17 @@ class PGSRGaussians(VanillaGaussians):
         }
 
     def update_stats_pgsr(self, stats: DensifyStats, extra, radii,
-                          mean2d_grad, mean2d_abs_grad, observe):
+                          mean2d_grad, mean2d_abs_grad, observe, grad_scale):
         """add_densification_stats + observe-gated radius max
-        (pgsr_gaussian.py:157-182)."""
+        (pgsr_gaussian.py:157-182).
+
+        grad_scale: [2] NDC conversion (see VanillaGaussians.ndc_grad_scale).
+        """
         visible = radii > 0
         obs_mask = visible & (observe > 0)
-        gnorm = jnp.linalg.norm(mean2d_grad[:, :2], axis=-1)
-        gnorm_abs = jnp.linalg.norm(mean2d_abs_grad[:, :2], axis=-1)
+        gnorm = jnp.linalg.norm(mean2d_grad[:, :2] * grad_scale, axis=-1)
+        gnorm_abs = jnp.linalg.norm(mean2d_abs_grad[:, :2] * grad_scale,
+                                    axis=-1)
         new_stats = DensifyStats(
             max_radii2d=jnp.where(obs_mask,
                                   jnp.maximum(stats.max_radii2d,

@@ -353,11 +353,15 @@ class ScaffoldGaussians:
         return anchor_lrs, mlp_lrs
 
     adam_step = staticmethod(VanillaGaussians.adam_step)
+    ndc_grad_scale = staticmethod(VanillaGaussians.ndc_grad_scale)
 
     # ------------------------------------------------------------------
     def update_stats(self, stats: ScaffoldStats, neural_opacity, mask,
-                     radii, mean2d_grad, visible_mask, active):
-        """training_statis (scaffold_gaussian.py:488-508)."""
+                     radii, mean2d_grad, visible_mask, active, grad_scale):
+        """training_statis (scaffold_gaussian.py:488-508).
+
+        grad_scale: [2] NDC conversion (see VanillaGaussians.ndc_grad_scale).
+        """
         K = self.config.n_offsets
         CA = stats.opacity_accum.shape[0]
         vis = visible_mask & active
@@ -369,7 +373,8 @@ class ScaffoldGaussians:
         anchor_denom = jnp.where(vis, stats.anchor_denom + 1.0,
                                  stats.anchor_denom)
         upd = (mask & (radii > 0)).reshape(CA, K)
-        gnorm = jnp.linalg.norm(mean2d_grad[:, :2], axis=-1).reshape(CA, K)
+        gnorm = jnp.linalg.norm(mean2d_grad[:, :2] * grad_scale,
+                                axis=-1).reshape(CA, K)
         offset_grad_accum = jnp.where(upd, stats.offset_grad_accum + gnorm,
                                       stats.offset_grad_accum)
         offset_denom = jnp.where(upd, stats.offset_denom + 1.0,

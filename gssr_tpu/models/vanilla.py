@@ -196,10 +196,26 @@ class VanillaGaussians:
 
     # ---------------- densification -----------------------------------
     @staticmethod
-    def update_stats(stats: DensifyStats, radii, mean2d_grad):
-        """Per-step statistics accumulation (add_densification_stats)."""
+    def ndc_grad_scale(width, height):
+        """Pixel-grad -> reference NDC-grad conversion factor.
+
+        The reference CUDA backward returns dL/dmean2D in NDC units —
+        pixel grads scaled by 0.5*W / 0.5*H (backward.cu:460-461,545-546) —
+        and densify_grad_threshold (0.0002) is calibrated to that scale.
+        Our rasterizer's mean2d hook is in pixel units, so densification
+        statistics must multiply by this factor before taking the norm.
+        """
+        return jnp.asarray([0.5 * width, 0.5 * height], jnp.float32)
+
+    @staticmethod
+    def update_stats(stats: DensifyStats, radii, mean2d_grad, grad_scale):
+        """Per-step statistics accumulation (add_densification_stats).
+
+        grad_scale: [2] = ndc_grad_scale(W, H); converts the pixel-space
+        mean2d gradient into the reference's NDC-grad convention.
+        """
         visible = radii > 0
-        gnorm = jnp.linalg.norm(mean2d_grad[:, :2], axis=-1)
+        gnorm = jnp.linalg.norm(mean2d_grad[:, :2] * grad_scale, axis=-1)
         return DensifyStats(
             max_radii2d=jnp.where(visible,
                                   jnp.maximum(stats.max_radii2d,

@@ -68,7 +68,8 @@ def build_dp_train_step(gaussians, width: int, height: int,
         new_params, new_adam = g.adam_step(state.params, pgrads,
                                            state.adam, lrs)
         # densification stats: sum deltas, max radii across the batch
-        local = g.update_stats(state.stats, out.radii, m2d_grad)
+        local = g.update_stats(state.stats, out.radii, m2d_grad,
+                               g.ndc_grad_scale(width, height))
         stats = DensifyStats(
             max_radii2d=jax.lax.pmax(local.max_radii2d, "data"),
             grad_accum=state.stats.grad_accum + jax.lax.psum(

@@ -63,6 +63,8 @@ class PGSRScene(VanillaScene):
             pass
         self.extra_stats = self.gaussians.init_extra_stats(
             self.state.params.xyz.shape[0])
+        self._near_seed = seed ^ 0x9E3779B9
+        self._near_draws = 0
 
     def make_gaussians(self):
         return PGSRGaussians(self.config.gaussians,
@@ -147,8 +149,11 @@ class PGSRScene(VanillaScene):
         ix, iy = jnp.meshgrid(jnp.arange(W, dtype=jnp.float32),
                               jnp.arange(H, dtype=jnp.float32))
         pix = jnp.stack([ix, iy], -1).reshape(-1, 2)
-        noise = jnp.linalg.norm(
-            jnp.stack([proj_x, proj_y], -1) - pix, axis=-1)
+        # eps-safe norm: ||.|| has a NaN gradient at exactly 0, and a
+        # perfectly reprojected pixel (near view ~ ref view) hits 0
+        # bit-exactly — d/dx sqrt(x^2+eps) is 0 there instead of 0/0
+        diff = jnp.stack([proj_x, proj_y], -1) - pix
+        noise = jnp.sqrt(jnp.sum(diff * diff, axis=-1) + 1e-12)
         d_mask = in_bounds & (noise < cfg.pixel_noise_threshold)
         weights = jax.lax.stop_gradient(jnp.exp(-noise))
         weights = jnp.where(d_mask, weights, 0.0)
@@ -253,7 +258,8 @@ class PGSRScene(VanillaScene):
         new_params, new_adam = g.adam_step(state.params, pgrads, state.adam,
                                            lrs)
         new_stats, new_extra = g.update_stats_pgsr(
-            state.stats, extra, out.radii, m2d_g, m2d_abs_g, observe)
+            state.stats, extra, out.radii, m2d_g, m2d_abs_g, observe,
+            g.ndc_grad_scale(self.width, self.height))
         new_state = state._replace(params=new_params, adam=new_adam,
                                    stats=new_stats)
         metrics = dict(terms)
@@ -291,9 +297,27 @@ class PGSRScene(VanillaScene):
             near_gray, bg, jnp.asarray(step, jnp.float32), k)
         return state, metrics
 
+    def aux_state(self):
+        aux = super().aux_state()
+        aux["extra_stats"] = self.extra_stats
+        aux["near_draws"] = jnp.asarray(self._near_draws)
+        return aux
+
+    def restore_aux(self, aux):
+        super().restore_aux(aux)
+        if "extra_stats" in aux:
+            self.extra_stats = jax.tree.map(jnp.asarray, aux["extra_stats"])
+        if "near_draws" in aux:
+            self._near_draws = int(aux["near_draws"])
+
     def key_host_choice(self, ids):
-        import random
-        return random.choice(list(ids))
+        """Counter-based seeded near-camera pick; each draw is a pure
+        function of (seed, draw index) so checkpoint/resume reproduces the
+        sequence. (The reference uses the unseeded global `random` module.)"""
+        import random as _r
+        r = _r.Random(self._near_seed * 1_000_003 + self._near_draws)
+        self._near_draws += 1
+        return r.choice(list(ids))
 
     # ------------------------------------------------------------------
     def densify(self, state, step: int):

@@ -133,7 +133,8 @@ class ScaffoldScene(VanillaScene):
 
         in_window = (step > cfg.start_stat) & (step < cfg.densify_until_iter)
         upd_stats = g.update_stats(state.stats, ng.neural_opacity, ng.mask,
-                                   out.radii, m2d_grad, visible, state.active)
+                                   out.radii, m2d_grad, visible, state.active,
+                                   g.ndc_grad_scale(self.width, self.height))
         stats = jax.tree.map(
             lambda new, old: jnp.where(in_window, new, old),
             upd_stats, state.stats)

@@ -40,6 +40,8 @@ class ScaffoldPGSRScene(ScaffoldScene):
     def __init__(self, config, source_dir, eval=False, seed=0,
                  dataloader=None):
         super().__init__(config, source_dir, eval, seed, dataloader)
+        self._near_seed = seed ^ 0x9E3779B9
+        self._near_draws = 0
         from gssr_tpu.dataio.view_selection import assign_near_ids
         try:
             assign_near_ids(self.dataloader.train_cameras, source_dir,
@@ -51,6 +53,16 @@ class ScaffoldPGSRScene(ScaffoldScene):
     depth_normal = PGSRScene.depth_normal
     _multi_view_losses = PGSRScene._multi_view_losses
     key_host_choice = PGSRScene.key_host_choice
+
+    def aux_state(self):
+        aux = super().aux_state()
+        aux["near_draws"] = jnp.asarray(self._near_draws)
+        return aux
+
+    def restore_aux(self, aux):
+        super().restore_aux(aux)
+        if "near_draws" in aux:
+            self._near_draws = int(aux["near_draws"])
 
     def _rasterize_neural(self, ng, camera, bg, mean2d_offset):
         return rasterize_pgsr(
@@ -124,7 +136,8 @@ class ScaffoldPGSRScene(ScaffoldScene):
         new_mlp, adam_m = g.adam_step(state.mlp, gm, state.adam_mlp, m_lrs)
         in_window = (step > gcfg.start_stat) & (step < gcfg.densify_until_iter)
         upd_stats = g.update_stats(state.stats, ng.neural_opacity, ng.mask,
-                                   out.radii, m2d_grad, visible, state.active)
+                                   out.radii, m2d_grad, visible, state.active,
+                                   g.ndc_grad_scale(self.width, self.height))
         stats = jax.tree.map(lambda new, old: jnp.where(in_window, new, old),
                              upd_stats, state.stats)
         new_state = state._replace(anchors=new_anchors, mlp=new_mlp,

@@ -121,7 +121,8 @@ class VanillaScene:
         lrs = g.learning_rates(step)
         new_params, new_adam = g.adam_step(state.params, pgrads,
                                            state.adam, lrs)
-        new_stats = g.update_stats(state.stats, out.radii, m2d_grad)
+        new_stats = g.update_stats(state.stats, out.radii, m2d_grad,
+                                   g.ndc_grad_scale(self.width, self.height))
         new_state = state._replace(params=new_params, adam=new_adam,
                                    stats=new_stats)
         metrics = dict(terms)
@@ -142,6 +143,26 @@ class VanillaScene:
         gt = jnp.asarray(camera.image, jnp.float32)
         return fn(state, camera.arrays(), gt, bg,
                   jnp.asarray(step, jnp.float32))
+
+    # ------------------------------------------------------------------
+    def aux_state(self):
+        """Scene-side state that must ride in checkpoints beyond the
+        GaussianState pytree (reference capture(): trainer.py:155-168).
+        Subclasses extend (PGSR adds extra_stats)."""
+        return {"key": self.key,
+                "sampler_draws": jnp.asarray(self.dataloader.draws)}
+
+    def restore_aux(self, aux):
+        if "key" in aux:
+            self.key = jnp.asarray(aux["key"])
+        if "sampler_draws" in aux:
+            self.dataloader.restore_sampler(int(aux["sampler_draws"]))
+
+    def get_training_callbacks(self, trainer):
+        """Host-side before/after-iteration hooks (callbacks.py parity).
+        Per-step schedules (LR, SH degree) live inside the jitted step, so
+        the default is empty; users/subclasses may register their own."""
+        return []
 
     def get_background(self, step):
         if self.config.random_background:

@@ -120,3 +120,24 @@ def test_expon_lr_schedule():
     assert np.isclose(float(lr_end), 1e-4, rtol=1e-5)
     mid = float(expon_lr(50, 1e-2, 1e-4, max_steps=100))
     assert np.isclose(mid, 1e-3, rtol=1e-4)  # log-linear midpoint
+
+
+def test_densify_grad_ndc_convention():
+    """Accumulated mean2D grad norms must be in the reference's NDC scale:
+    pixel grads x [0.5*W, 0.5*H] (backward.cu:460-461), so that
+    densify_grad_threshold=0.0002 triggers as in the CUDA build."""
+    import jax.numpy as jnp
+    from gssr_tpu.models.vanilla import DensifyStats, VanillaGaussians
+
+    W, H = 1600, 1200
+    scale = VanillaGaussians.ndc_grad_scale(W, H)
+    assert np.allclose(np.asarray(scale), [800.0, 600.0])
+
+    stats = DensifyStats(jnp.zeros(4), jnp.zeros(4), jnp.zeros(4))
+    radii = jnp.asarray([5, 0, 5, 5], jnp.int32)
+    g = jnp.ones((4, 2), jnp.float32) * 1e-3   # pixel-space grads
+    out = VanillaGaussians.update_stats(stats, radii, g, scale)
+    # |(0.8, 0.6)| = 1.0 for visible rows
+    assert np.allclose(np.asarray(out.grad_accum),
+                       [1.0, 0.0, 1.0, 1.0], atol=1e-5)
+    assert np.allclose(np.asarray(out.denom), [1, 0, 1, 1])

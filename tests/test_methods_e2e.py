@@ -65,3 +65,35 @@ def test_method_short_train(method, scene_dir, tmp_path):
     base = config.get_base_dir()
     ply = base / "point_cloud/iteration_8/point_cloud.ply"
     assert ply.exists()
+
+
+@pytest.mark.slow
+def test_pgsr_kill_and_resume(scene_dir, tmp_path):
+    """Kill-and-resume mid-run must reproduce the uninterrupted trajectory:
+    PGSR extra_stats, the scene PRNG key, the camera-sampler position and
+    the near-camera draw counter all ride in the checkpoint."""
+    import jax
+    from gssr_tpu.engine.trainer import Trainer
+
+    def run(out, iters, ckpt_at=(), resume_from=None):
+        config = _small_config("pgsr", scene_dir, out)
+        config.trainer.iterations = iters
+        config.trainer.test_iterations = []
+        config.trainer.save_iterations = []
+        config.trainer.checkpoint_iterations = list(ckpt_at)
+        if resume_from is not None:
+            config.trainer.load_ckpt_dir = resume_from
+        config.save_config()
+        tr = Trainer(config)
+        tr.setup()
+        state = tr.train()
+        return tr, jax.tree.map(np.asarray, state)
+
+    _, full = run(str(tmp_path / "full"), 12)
+
+    tr_a, _ = run(str(tmp_path / "a"), 6, ckpt_at=[6])
+    ckpt_dir = str(tr_a.config.get_checkpoint_dir())
+    _, resumed = run(str(tmp_path / "b"), 12, resume_from=ckpt_dir)
+
+    for a, b in zip(jax.tree.leaves(full), jax.tree.leaves(resumed)):
+        assert np.allclose(a, b, atol=1e-6), "resume diverged"
