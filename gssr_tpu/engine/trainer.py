@@ -48,6 +48,12 @@ class Trainer:
         if self.scene is None:
             from gssr_tpu.configs.methods import build_scene
             self.scene = build_scene(self.config)
+        m = self.config.machine
+        mode = getattr(m, "parallel", "none")
+        if mode and mode != "none":
+            n = m.num_devices or len(jax.devices())
+            self.scene.setup_parallel(mode, devices=jax.devices()[:n])
+            print(f"multi-chip: mode={mode} over {n} devices")
         t = self.config.trainer
         if t.load_gaussian_dir is not None:
             self._load_gaussians()
@@ -75,9 +81,15 @@ class Trainer:
             for cb in callbacks:
                 cb.run_callback_at_location(
                     step, TrainingCallbackLocation.BEFORE_TRAIN_ITERATION)
-            camera = scene.dataloader.next_train()
+            if getattr(scene, "_pmode", None) == "dp":
+                # one camera per device; each step consumes n_dev cameras
+                camera = [scene.dataloader.next_train()
+                          for _ in range(scene._n_dev)]
+                mpix_acc += sum(c.width * c.height for c in camera) / 1e6
+            else:
+                camera = scene.dataloader.next_train()
+                mpix_acc += camera.width * camera.height / 1e6
             state, metrics = scene.train_step(state, camera, step)
-            mpix_acc += camera.width * camera.height / 1e6
             # Overflow is checked EVERY step, one step delayed: we sync on
             # the previous step's flag while the current step is already
             # enqueued, so the device queue never drains. (The reference

@@ -76,6 +76,18 @@ class PGSRGaussians(VanillaGaussians):
         return new_stats, new_extra
 
     @staticmethod
+    def dp_merge_extra(old, local, axis):
+        """DP merge of the abs-grad accumulators (sums add per-device
+        deltas, max_weight reduces directly)."""
+        return {
+            "grad_accum_abs": old["grad_accum_abs"] + jax.lax.psum(
+                local["grad_accum_abs"] - old["grad_accum_abs"], axis),
+            "denom_abs": old["denom_abs"] + jax.lax.psum(
+                local["denom_abs"] - old["denom_abs"], axis),
+            "max_weight": jax.lax.pmax(local["max_weight"], axis),
+        }
+
+    @staticmethod
     def _budget_reselect(sel, grads, n_active, budget, cap):
         """Quantile re-thresholding when a selection would exceed the global
         point budget (pgsr_gaussian.py:66-77)."""

@@ -355,6 +355,13 @@ class ScaffoldGaussians:
     adam_step = staticmethod(VanillaGaussians.adam_step)
     ndc_grad_scale = staticmethod(VanillaGaussians.ndc_grad_scale)
 
+    @staticmethod
+    def dp_merge_stats(old, local, axis):
+        """All ScaffoldStats fields are running sums; add per-device
+        deltas across the camera-batch axis."""
+        return jax.tree.map(
+            lambda o, l: o + jax.lax.psum(l - o, axis), old, local)
+
     # ------------------------------------------------------------------
     def update_stats(self, stats: ScaffoldStats, neural_opacity, mask,
                      radii, mean2d_grad, visible_mask, active, grad_scale):

@@ -208,6 +208,17 @@ class VanillaGaussians:
         return jnp.asarray([0.5 * width, 0.5 * height], jnp.float32)
 
     @staticmethod
+    def dp_merge_stats(old: DensifyStats, local: DensifyStats, axis):
+        """Merge per-device stat updates under camera-batch DP: each device
+        accumulated its own camera's delta on top of `old`; sums add the
+        deltas, the radius max reduces directly."""
+        return DensifyStats(
+            max_radii2d=jax.lax.pmax(local.max_radii2d, axis),
+            grad_accum=old.grad_accum + jax.lax.psum(
+                local.grad_accum - old.grad_accum, axis),
+            denom=old.denom + jax.lax.psum(local.denom - old.denom, axis))
+
+    @staticmethod
     def update_stats(stats: DensifyStats, radii, mean2d_grad, grad_scale):
         """Per-step statistics accumulation (add_densification_stats).
 

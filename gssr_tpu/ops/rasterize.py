@@ -63,7 +63,8 @@ def rasterize(means3d, scales, rotations, opacity, camera,
               active_mask=None, scaling_modifier: float = 1.0,
               instance_cap: int = 1 << 18,
               backend: str = "pallas",
-              mean2d_offset=None) -> RenderOutput:
+              mean2d_offset=None,
+              band_axis=None, band_count: int = 1) -> RenderOutput:
     """Render gaussians through one camera.
 
     Args:
@@ -73,7 +74,11 @@ def rasterize(means3d, scales, rotations, opacity, camera,
       width/height: output image size (unpadded); rendering happens on the
         TILE-padded grid and is cropped.
       active_mask [N] bool: mask for fixed-capacity padding.
-      instance_cap: static capacity of the duplicated instance buffer.
+      instance_cap: static capacity of the duplicated instance buffer
+        (PER DEVICE when band-sharded).
+      band_axis/band_count: when set (inside shard_map), each device bins
+        and blends only its horizontal tile-row band; the maps are
+        all_gather'd back so outputs are full-frame (ops/band.py).
     """
     pw, ph = pad_to_tiles(width, height)
     proj = preprocess(means3d, scales, rotations, camera, pw, ph,
@@ -91,23 +96,46 @@ def rasterize(means3d, scales, rotations, opacity, camera,
     else:
         color = sh_ops.sh_to_color(sh_degree, sh_coeffs, means3d, camera.campos)
 
+    if band_axis is None:
+        tiles_yb, render_h = ph // TILE, ph
+        rect, tiles, mask = proj.rect, proj.tiles_touched, proj.tile_mask
+        mean2d_b = proj.mean2d
+    else:
+        from gssr_tpu.ops import band as band_ops
+        assert (ph // TILE) % band_count == 0, \
+            f"tile rows {ph // TILE} must divide band_count {band_count}"
+        tiles_yb = (ph // TILE) // band_count
+        render_h = tiles_yb * TILE
+        ty0 = band_ops.band_ty0(band_axis, tiles_yb)
+        rect, tiles, mask = band_ops.clip_to_band(
+            proj.rect, proj.tiles_touched, proj.tile_mask, ty0, tiles_yb)
+        mean2d_b = band_ops.shift_mean2d(proj.mean2d, ty0)
+
     if backend == "pallas":
         from gssr_tpu.ops.blend_pallas import CHUNK
         chunk = CHUNK
     else:
         chunk = 1
     binning = bin_gaussians(
-        jax.lax.stop_gradient(proj.rect),
+        jax.lax.stop_gradient(rect),
         jax.lax.stop_gradient(proj.depth),
-        jax.lax.stop_gradient(proj.tiles_touched),
-        pw // TILE, ph // TILE, instance_cap, chunk=chunk,
-        tile_mask=proj.tile_mask)
+        jax.lax.stop_gradient(tiles),
+        pw // TILE, tiles_yb, instance_cap, chunk=chunk,
+        tile_mask=mask)
 
     opacity = opacity.reshape(-1)
-    image, final_T = _blend_dispatch(proj.mean2d, proj.conic, color, opacity,
-                                     binning, pw, ph, jnp.asarray(bg), backend)
+    image, final_T = _blend_dispatch(mean2d_b, proj.conic, color, opacity,
+                                     binning, pw, render_h, jnp.asarray(bg),
+                                     backend)
+    num_rendered, overflow = binning.num_rendered, binning.overflow
+    if band_axis is not None:
+        from gssr_tpu.ops import band as band_ops
+        image = band_ops.gather_bands(image, band_axis)
+        final_T = band_ops.gather_bands(final_T, band_axis)
+        num_rendered, overflow = band_ops.merge_flags(
+            num_rendered, overflow, band_axis)
     image = image[:height, :width]
     final_T = final_T[:height, :width]
     return RenderOutput(image=image, final_T=final_T, radii=proj.radius,
-                        mean2d=proj.mean2d, num_rendered=binning.num_rendered,
-                        overflow=binning.overflow)
+                        mean2d=proj.mean2d, num_rendered=num_rendered,
+                        overflow=overflow)

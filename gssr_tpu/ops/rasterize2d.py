@@ -43,7 +43,8 @@ def rasterize_2d(means3d, scales2, rotations, opacity, camera,
                  active_mask=None, scaling_modifier: float = 1.0,
                  instance_cap: int = 1 << 18, backend: str = "pallas",
                  depth_ratio: float = 0.0,
-                 mean2d_offset=None) -> Render2DOutput:
+                 mean2d_offset=None,
+                 band_axis=None, band_count: int = 1) -> Render2DOutput:
     pw, ph = pad_to_tiles(width, height)
     proj = preprocess_2d(means3d, scales2, rotations, camera, pw, ph,
                          scaling_modifier=scaling_modifier,
@@ -57,27 +58,58 @@ def rasterize_2d(means3d, scales2, rotations, opacity, camera,
     else:
         color = sh_ops.sh_to_color(sh_degree, sh_coeffs, means3d, camera.campos)
 
+    if band_axis is None:
+        tiles_yb, render_h = ph // TILE, ph
+        rect, tiles = proj.rect, proj.tiles_touched
+        mean2d_b, Tmat_b = proj.mean2d, proj.Tmat
+    else:
+        from gssr_tpu.ops import band as band_ops
+        assert (ph // TILE) % band_count == 0
+        tiles_yb = (ph // TILE) // band_count
+        render_h = tiles_yb * TILE
+        ty0 = band_ops.band_ty0(band_axis, tiles_yb)
+        rect, tiles, _ = band_ops.clip_to_band(
+            proj.rect, proj.tiles_touched, None, ty0, tiles_yb)
+        mean2d_b = band_ops.shift_mean2d(proj.mean2d, ty0)
+        # the homogeneous splat->pixel map projects to GLOBAL pixel rows;
+        # rebase its y row to band-local coords: y_local = y - ty0*TILE
+        # <=> Tv_local = Tv - (ty0*TILE) * Tw
+        dy = (ty0 * TILE).astype(jnp.float32)
+        Tmat_b = proj.Tmat.at[..., 1, :].add(-dy * proj.Tmat[..., 2, :])
+
     chunk = 1
     if backend == "pallas":
         from gssr_tpu.ops.blend2d_pallas import CHUNK as chunk
     binning = bin_gaussians(
-        jax.lax.stop_gradient(proj.rect),
+        jax.lax.stop_gradient(rect),
         jax.lax.stop_gradient(proj.depth),
-        jax.lax.stop_gradient(proj.tiles_touched),
-        pw // TILE, ph // TILE, instance_cap, chunk=chunk)
+        jax.lax.stop_gradient(tiles),
+        pw // TILE, tiles_yb, instance_cap, chunk=chunk)
 
     opacity = opacity.reshape(-1)
     if backend == "pallas":
         from gssr_tpu.ops.blend2d_pallas import blend2d_pallas
-        maps = blend2d_pallas(proj.mean2d, proj.Tmat, proj.normal, color,
-                              opacity, binning, pw, ph)
+        maps = blend2d_pallas(mean2d_b, Tmat_b, proj.normal, color,
+                              opacity, binning, pw, render_h)
     elif backend == "reference":
         from gssr_tpu.ops.blend2d_ref import blend2d_reference
-        maps = blend2d_reference(proj.mean2d, proj.Tmat, proj.normal, color,
+        maps = blend2d_reference(mean2d_b, Tmat_b, proj.normal, color,
                                  opacity, binning.gauss_id, binning.tile_of,
-                                 pw, ph)
+                                 pw, render_h)
     else:
         raise ValueError(f"unknown backend {backend!r}")
+
+    num_rendered, overflow = binning.num_rendered, binning.overflow
+    if band_axis is not None:
+        from types import SimpleNamespace
+
+        from gssr_tpu.ops import band as band_ops
+        maps = SimpleNamespace(**{
+            f: band_ops.gather_bands(getattr(maps, f), band_axis)
+            for f in ("color", "final_T", "depth_exp", "normal", "dist",
+                      "median_depth")})
+        num_rendered, overflow = band_ops.merge_flags(
+            num_rendered, overflow, band_axis)
 
     crop = lambda x: x[:height, :width]
     final_T = crop(maps.final_T)
@@ -96,4 +128,4 @@ def rasterize_2d(means3d, scales2, rotations, opacity, camera,
         depth_expected=depth_expected, median_depth=median_depth,
         surf_depth=surf_depth, dist=crop(maps.dist),
         radii=proj.radius, mean2d=proj.mean2d,
-        num_rendered=binning.num_rendered, overflow=binning.overflow)
+        num_rendered=num_rendered, overflow=overflow)

@@ -53,7 +53,8 @@ def rasterize_pgsr(means3d, scales, rotations, opacity, camera,
                    instance_cap: int = 1 << 18, backend: str = "pallas",
                    mean2d_offset=None,
                    mean2d_abs_offset=None,
-                   observe_offset=None) -> RenderPGSROutput:
+                   observe_offset=None,
+                   band_axis=None, band_count: int = 1) -> RenderPGSROutput:
     """mean2d_abs_offset: [N,2] zeros; take d(loss)/d(it) to read the abs
     screen-gradient statistics (replaces means2D_abs retain_grad).
     observe_offset: [N,1] zeros; its gradient channel carries the
@@ -86,23 +87,37 @@ def rasterize_pgsr(means3d, scales, rotations, opacity, camera,
     pts_cam = jnp.concatenate([means3d, ones], -1) @ camera.w2c[:3, :].T
     distance = jnp.abs(jnp.sum(normal_c * pts_cam, axis=-1))
 
+    if band_axis is None:
+        tiles_yb, render_h = ph // TILE, ph
+        rect, tiles, mask = proj.rect, proj.tiles_touched, proj.tile_mask
+        mean2d_b = proj.mean2d
+    else:
+        from gssr_tpu.ops import band as band_ops
+        assert (ph // TILE) % band_count == 0
+        tiles_yb = (ph // TILE) // band_count
+        render_h = tiles_yb * TILE
+        ty0 = band_ops.band_ty0(band_axis, tiles_yb)
+        rect, tiles, mask = band_ops.clip_to_band(
+            proj.rect, proj.tiles_touched, proj.tile_mask, ty0, tiles_yb)
+        mean2d_b = band_ops.shift_mean2d(proj.mean2d, ty0)
+
     chunk = 1
     if backend == "pallas":
         from gssr_tpu.ops.blend_pgsr_pallas import CHUNK as chunk
     binning = bin_gaussians(
-        jax.lax.stop_gradient(proj.rect),
+        jax.lax.stop_gradient(rect),
         jax.lax.stop_gradient(proj.depth),
-        jax.lax.stop_gradient(proj.tiles_touched),
-        pw // TILE, ph // TILE, instance_cap, chunk=chunk,
-        tile_mask=proj.tile_mask)
+        jax.lax.stop_gradient(tiles),
+        pw // TILE, tiles_yb, instance_cap, chunk=chunk,
+        tile_mask=mask)
 
     opacity = opacity.reshape(-1)
     N = means3d.shape[0]
     if backend == "pallas":
         from gssr_tpu.ops.blend_pgsr_pallas import blend_pgsr_pallas
-        maps = blend_pgsr_pallas(proj.mean2d, proj.conic, color, opacity,
+        maps = blend_pgsr_pallas(mean2d_b, proj.conic, color, opacity,
                                  normal_c, distance, observe_offset,
-                                 mean2d_abs_offset, binning, pw, ph)
+                                 mean2d_abs_offset, binning, pw, render_h)
         obs_inst = maps.observe_inst[0, :]
         observe = jax.ops.segment_sum(
             jnp.where(binning.valid, obs_inst, 0.0),
@@ -115,15 +130,26 @@ def rasterize_pgsr(means3d, scales, rotations, opacity, camera,
         # route the abs-offset gradient like the pallas path: constant-fold
         # zero contribution keeps the signature differentiable
         out = blend_pgsr_reference(
-            proj.mean2d + 0.0 * (mean2d_abs_offset + observe_offset),
+            mean2d_b + 0.0 * (mean2d_abs_offset + observe_offset),
             proj.conic, color,
             opacity, normal_c, distance, binning.gauss_id, binning.tile_of,
-            pw, ph)
+            pw, render_h)
         color_map, final_T = out.color, out.final_T
         normal_map, dist_map = out.normal, out.distance
         observe = out.observe
     else:
         raise ValueError(f"unknown backend {backend!r}")
+
+    num_rendered, overflow = binning.num_rendered, binning.overflow
+    if band_axis is not None:
+        from gssr_tpu.ops import band as band_ops
+        color_map = band_ops.gather_bands(color_map, band_axis)
+        final_T = band_ops.gather_bands(final_T, band_axis)
+        normal_map = band_ops.gather_bands(normal_map, band_axis)
+        dist_map = band_ops.gather_bands(dist_map, band_axis)
+        observe = jax.lax.psum(observe, band_axis)
+        num_rendered, overflow = band_ops.merge_flags(
+            num_rendered, overflow, band_axis)
 
     crop = lambda x: x[:height, :width]
     final_T = crop(final_T)
@@ -144,4 +170,4 @@ def rasterize_pgsr(means3d, scales, rotations, opacity, camera,
         normal=normal_map, distance=dist_map, plane_depth=plane_depth,
         observe=jax.lax.stop_gradient(observe),
         radii=proj.radius, mean2d=proj.mean2d,
-        num_rendered=binning.num_rendered, overflow=binning.overflow)
+        num_rendered=num_rendered, overflow=overflow)

@@ -22,7 +22,7 @@ class Octree2DGSSceneConfig(OctreeSceneConfig):
 class Octree2DGSScene(OctreeScene):
     config: Octree2DGSSceneConfig
 
-    def _rasterize_neural(self, ng, camera, bg, mean2d_offset):
+    def _rasterize_neural(self, ng, camera, bg, mean2d_offset, band=False):
         return rasterize_2d(
             ng.xyz, ng.scaling[:, :2], ng.rotation, ng.opacity, camera,
             self.width, self.height, bg,
@@ -31,7 +31,9 @@ class Octree2DGSScene(OctreeScene):
             instance_cap=self.config.instance_cap,
             backend=self.config.backend,
             depth_ratio=self.config.depth_ratio,
-            mean2d_offset=mean2d_offset)
+            mean2d_offset=mean2d_offset,
+            band_axis=self._axis if band else None,
+            band_count=self._n_dev if band else 1)
 
     def extra_losses(self, ng, out, step, camera):
         terms = surfel_reg_losses(out, camera, step,

@@ -72,7 +72,7 @@ class PGSRScene(VanillaScene):
 
     # ------------------------------------------------------------------
     def render_pgsr(self, params, camera, sh_degree, active, bg,
-                    m2d=None, m2d_abs=None, obs_off=None):
+                    m2d=None, m2d_abs=None, obs_off=None, band=False):
         g = self.gaussians
         return rasterize_pgsr(
             params.xyz, g.get_scaling(params), g.get_rotation(params),
@@ -83,7 +83,9 @@ class PGSRScene(VanillaScene):
             instance_cap=self.config.instance_cap,
             backend=self.config.backend,
             mean2d_offset=m2d, mean2d_abs_offset=m2d_abs,
-            observe_offset=obs_off)
+            observe_offset=obs_off,
+            band_axis=self._axis if band else None,
+            band_count=self._n_dev if band else 1)
 
     def depth_normal(self, plane_depth, alpha, camera):
         """Unprojected-depth normal scaled by detached alpha
@@ -212,14 +214,15 @@ class PGSRScene(VanillaScene):
 
     # ------------------------------------------------------------------
     def _train_step(self, sh_degree, multi_view, state, extra, camera,
-                    near_camera, gt, near_gray, bg, step, key):
+                    near_camera, gt, near_gray, bg, step, key, par=None):
         g = self.gaussians
         cfg = self.config
         N = state.params.xyz.shape[0]
+        band = par == "band"
 
         def loss_fn(params, m2d, m2d_abs, obs_off):
             out = self.render_pgsr(params, camera, sh_degree, state.active,
-                                   bg, m2d, m2d_abs, obs_off)
+                                   bg, m2d, m2d_abs, obs_off, band=band)
             lam = cfg.lambda_dssim
             terms = {
                 "L1_loss": (1.0 - lam) * l1_loss(out.image, gt),
@@ -235,7 +238,7 @@ class PGSRScene(VanillaScene):
                 terms["normal_loss"] = cfg.lambda_normal * jnp.mean(
                     w_img * jnp.sum(jnp.abs(dnormal - out.normal), axis=-1))
                 near_out = self.render_pgsr(params, near_camera, sh_degree,
-                                            state.active, bg)
+                                            state.active, bg, band=band)
                 geo, ncc_l = self._multi_view_losses(
                     out, near_out, camera, near_camera, gt_gray, near_gray,
                     key)
@@ -250,6 +253,13 @@ class PGSRScene(VanillaScene):
                     state.params, zeros2d, zeros2d,
                     jnp.zeros((N, 1), jnp.float32))
 
+        pgrads = self._pmerge_grads(pgrads)
+        if band:
+            m2d_g = jax.lax.pmean(m2d_g, self._axis)
+            m2d_abs_g = jax.lax.pmean(m2d_abs_g, self._axis)
+            # observe counts are cotangent-independent band-partial sums
+            obs_g = jax.lax.psum(obs_g, self._axis)
+
         # pallas: observe rides the backward's gradient scatter (the
         # forward segment-sum is then dead code); reference: forward value
         observe = (obs_g[:, 0] if self.config.backend == "pallas"
@@ -260,40 +270,88 @@ class PGSRScene(VanillaScene):
         new_stats, new_extra = g.update_stats_pgsr(
             state.stats, extra, out.radii, m2d_g, m2d_abs_g, observe,
             g.ndc_grad_scale(self.width, self.height))
+        if par == "dp":
+            new_stats = g.dp_merge_stats(state.stats, new_stats, self._axis)
+            new_extra = g.dp_merge_extra(extra, new_extra, self._axis)
         new_state = state._replace(params=new_params, adam=new_adam,
                                    stats=new_stats)
         metrics = dict(terms)
         metrics["loss"] = loss
         metrics["num_rendered"] = out.num_rendered
         metrics["overflow"] = out.overflow
-        return new_state, new_extra, metrics
+        return new_state, new_extra, self._pmerge_metrics(metrics)
+
+    def _build_step_fn_pgsr(self, sh_degree: int, multi: bool):
+        par = self._pmode
+        if par is None:
+            return jax.jit(functools.partial(self._train_step, sh_degree,
+                                             multi),
+                           donate_argnums=(0, 1))
+        from jax.sharding import PartitionSpec as P
+        cam_spec, gt_spec = self._shard_specs()
+
+        if par == "dp":
+            def body(state, extra, cam_b, near_b, gt_b, ngray_b, bg, step,
+                     key):
+                cam = jax.tree.map(lambda x: x[0], cam_b)
+                near = jax.tree.map(lambda x: x[0], near_b)
+                return self._train_step(
+                    sh_degree, multi, state, extra, cam, near, gt_b[0],
+                    ngray_b[0], bg, step, key, par="dp")
+        else:
+            def body(state, extra, cam, near, gt, ngray, bg, step, key):
+                return self._train_step(
+                    sh_degree, multi, state, extra, cam, near, gt,
+                    ngray, bg, step, key, par="band")
+
+        fn = jax.shard_map(
+            body, mesh=self._mesh,
+            in_specs=(P(), P(), cam_spec, cam_spec, gt_spec, gt_spec,
+                      P(), P(), P()),
+            out_specs=(P(), P(), P()), check_vma=False)
+        return jax.jit(fn, donate_argnums=(0, 1))
+
+    def _near_for(self, camera):
+        near = self.dataloader.train_cameras[
+            self.key_host_choice(camera.near_ids)]
+        gray = jnp.asarray(
+            np.asarray(rgb_to_gray(jnp.asarray(near.image))), jnp.float32)
+        return near, gray
 
     def train_step(self, state, camera, step: int):
         sh_degree = self.gaussians.active_sh_degree(step)
+        cams = camera if self._pmode == "dp" else [camera]
+        # dp: the whole batch runs one static multi_view variant; fall back
+        # to single-view when any sampled camera lacks covisible pairs
         multi = (step > self.config.multi_view_from
-                 and len(camera.near_ids) > 0)
+                 and all(len(c.near_ids) > 0 for c in cams))
         cache_key = ("train", sh_degree, multi)
         fn = self._jit_cache.get(cache_key)
         if fn is None:
-            fn = jax.jit(functools.partial(self._train_step, sh_degree,
-                                           multi),
-                         donate_argnums=(0, 1))
+            fn = self._build_step_fn_pgsr(sh_degree, multi)
             self._jit_cache[cache_key] = fn
         bg = self.get_background(step)
-        gt = jnp.asarray(camera.image, jnp.float32)
         if multi:
-            near = self.dataloader.train_cameras[
-                self.key_host_choice(camera.near_ids)]
-            near_arr = near.arrays()
-            near_gray = jnp.asarray(
-                np.asarray(rgb_to_gray(jnp.asarray(near.image))),
-                jnp.float32)
+            pairs = [self._near_for(c) for c in cams]
+            near_cams = [p[0] for p in pairs]
+            near_grays = [p[1] for p in pairs]
         else:
-            near_arr = camera.arrays()
-            near_gray = jnp.zeros((self.height, self.width), jnp.float32)
+            near_cams = cams
+            near_grays = [jnp.zeros((self.height, self.width), jnp.float32)
+                          for _ in cams]
         self.key, k = jax.random.split(self.key)
+        if self._pmode == "dp":
+            cam_arrays, gt = self._batch_cameras(cams)
+            near_arr = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                    *[c.arrays() for c in near_cams])
+            near_gray = jnp.stack(near_grays)
+        else:
+            cam_arrays = camera.arrays()
+            gt = jnp.asarray(camera.image, jnp.float32)
+            near_arr = near_cams[0].arrays()
+            near_gray = near_grays[0]
         state, self.extra_stats, metrics = fn(
-            state, self.extra_stats, camera.arrays(), near_arr, gt,
+            state, self.extra_stats, cam_arrays, near_arr, gt,
             near_gray, bg, jnp.asarray(step, jnp.float32), k)
         return state, metrics
 

@@ -63,14 +63,15 @@ class ScaffoldScene(VanillaScene):
 
     def decode_and_render(self, anchors, mlp, camera, cam_uid, visible,
                           active, bg, mean2d_offset=None,
-                          level_scale_gate=None):
+                          level_scale_gate=None, band=False):
         g = self.gaussians
         ng = g.decode(anchors, mlp, camera.campos, cam_uid, visible, active,
                       level_scale_gate=level_scale_gate)
-        out = self._rasterize_neural(ng, camera, bg, mean2d_offset)
+        out = self._rasterize_neural(ng, camera, bg, mean2d_offset,
+                                     band=band)
         return ng, out
 
-    def _rasterize_neural(self, ng, camera, bg, mean2d_offset):
+    def _rasterize_neural(self, ng, camera, bg, mean2d_offset, band=False):
         return rasterize(
             ng.xyz, ng.scaling, ng.rotation, ng.opacity, camera,
             self.width, self.height, bg,
@@ -78,7 +79,9 @@ class ScaffoldScene(VanillaScene):
             scaling_modifier=self.config.scaling_modifier,
             instance_cap=self.config.instance_cap,
             backend=self.config.backend,
-            mean2d_offset=mean2d_offset)
+            mean2d_offset=mean2d_offset,
+            band_axis=self._axis if band else None,
+            band_count=self._n_dev if band else 1)
 
     def extra_losses(self, ng, out, step, camera) -> Dict[str, jnp.ndarray]:
         return {"scaling_loss": self.scaling_loss(ng)}
@@ -97,9 +100,10 @@ class ScaffoldScene(VanillaScene):
 
     # ------------------------------------------------------------------
     def _train_step(self, sh_degree, state: ScaffoldState, camera, cam_uid,
-                    gt, bg, step):
+                    gt, bg, step, par=None):
         g = self.gaussians
         cfg = self.config.gaussians
+        band = par == "band"
         extra_mask, gate = self.anchor_level_gate(state, camera, step)
         visible = self.prefilter_anchors(state.anchors, state.active, camera)
         if extra_mask is not None:
@@ -112,7 +116,7 @@ class ScaffoldScene(VanillaScene):
         def loss_fn(anchors, mlp, m2d_offset):
             ng, out = self.decode_and_render(
                 anchors, mlp, camera, cam_uid, visible, state.active, bg,
-                mean2d_offset=m2d_offset, level_scale_gate=gate)
+                mean2d_offset=m2d_offset, level_scale_gate=gate, band=band)
             lam = self.config.lambda_dssim
             terms = {
                 "L1_loss": (1.0 - lam) * l1_loss(out.image, gt),
@@ -126,6 +130,11 @@ class ScaffoldScene(VanillaScene):
             loss_fn, argnums=(0, 1, 2), has_aux=True)(
                 state.anchors, state.mlp, zeros2d)
 
+        ga = self._pmerge_grads(ga)
+        gm = self._pmerge_grads(gm)
+        if band:
+            m2d_grad = jax.lax.pmean(m2d_grad, self._axis)
+
         a_lrs, m_lrs = g.learning_rates(step)
         new_anchors, adam_a = g.adam_step(state.anchors, ga,
                                           state.adam_anchor, a_lrs)
@@ -135,6 +144,8 @@ class ScaffoldScene(VanillaScene):
         upd_stats = g.update_stats(state.stats, ng.neural_opacity, ng.mask,
                                    out.radii, m2d_grad, visible, state.active,
                                    g.ndc_grad_scale(self.width, self.height))
+        if par == "dp":
+            upd_stats = g.dp_merge_stats(state.stats, upd_stats, self._axis)
         stats = jax.tree.map(
             lambda new, old: jnp.where(in_window, new, old),
             upd_stats, state.stats)
@@ -146,18 +157,47 @@ class ScaffoldScene(VanillaScene):
         metrics["loss"] = loss
         metrics["num_rendered"] = out.num_rendered
         metrics["overflow"] = out.overflow
-        return new_state, metrics
+        return new_state, self._pmerge_metrics(metrics)
+
+    def _build_step_fn(self, sh_degree: int):
+        par = self._pmode
+        if par is None:
+            return jax.jit(functools.partial(self._train_step, sh_degree),
+                           donate_argnums=(0,))
+        from jax.sharding import PartitionSpec as P
+        cam_spec, gt_spec = self._shard_specs()
+
+        if par == "dp":
+            def body(state, cam_b, uid_b, gt_b, bg, step):
+                cam = jax.tree.map(lambda x: x[0], cam_b)
+                return self._train_step(sh_degree, state, cam, uid_b[0],
+                                        gt_b[0], bg, step, par="dp")
+        else:
+            def body(state, cam, uid, gt, bg, step):
+                return self._train_step(sh_degree, state, cam, uid,
+                                        gt, bg, step, par="band")
+
+        fn = jax.shard_map(
+            body, mesh=self._mesh,
+            in_specs=(P(), cam_spec, cam_spec, gt_spec, P(), P()),
+            out_specs=(P(), P()), check_vma=False)
+        return jax.jit(fn, donate_argnums=(0,))
 
     def train_step(self, state, camera, step: int):
         fn = self._jit_cache.get("train")
         if fn is None:
-            fn = jax.jit(functools.partial(self._train_step, 0),
-                         donate_argnums=(0,))
+            fn = self._build_step_fn(0)
             self._jit_cache["train"] = fn
         bg = self.get_background(step)
-        gt = jnp.asarray(camera.image, jnp.float32)
-        return fn(state, camera.arrays(), jnp.asarray(camera.uid),
-                  gt, bg, jnp.asarray(step, jnp.float32))
+        if self._pmode == "dp":
+            cam_arrays, gt = self._batch_cameras(camera)
+            uid = jnp.asarray([c.uid for c in camera])
+        else:
+            cam_arrays = camera.arrays()
+            gt = jnp.asarray(camera.image, jnp.float32)
+            uid = jnp.asarray(camera.uid)
+        return fn(state, cam_arrays, uid, gt, bg,
+                  jnp.asarray(step, jnp.float32))
 
     # ------------------------------------------------------------------
     def densify(self, state: ScaffoldState, step: int) -> ScaffoldState:

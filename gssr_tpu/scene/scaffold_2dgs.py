@@ -23,7 +23,7 @@ class Scaffold2DGSSceneConfig(ScaffoldSceneConfig):
 class Scaffold2DGSScene(ScaffoldScene):
     config: Scaffold2DGSSceneConfig
 
-    def _rasterize_neural(self, ng, camera, bg, mean2d_offset):
+    def _rasterize_neural(self, ng, camera, bg, mean2d_offset, band=False):
         return rasterize_2d(
             ng.xyz, ng.scaling[:, :2], ng.rotation, ng.opacity, camera,
             self.width, self.height, bg,
@@ -32,7 +32,9 @@ class Scaffold2DGSScene(ScaffoldScene):
             instance_cap=self.config.instance_cap,
             backend=self.config.backend,
             depth_ratio=self.config.depth_ratio,
-            mean2d_offset=mean2d_offset)
+            mean2d_offset=mean2d_offset,
+            band_axis=self._axis if band else None,
+            band_count=self._n_dev if band else 1)
 
     def extra_losses(self, ng, out, step, camera):
         terms = surfel_reg_losses(out, camera, step,

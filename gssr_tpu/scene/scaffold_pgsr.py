@@ -64,7 +64,7 @@ class ScaffoldPGSRScene(ScaffoldScene):
         if "near_draws" in aux:
             self._near_draws = int(aux["near_draws"])
 
-    def _rasterize_neural(self, ng, camera, bg, mean2d_offset):
+    def _rasterize_neural(self, ng, camera, bg, mean2d_offset, band=False):
         return rasterize_pgsr(
             ng.xyz, ng.scaling, ng.rotation, ng.opacity, camera,
             self.width, self.height, bg,
@@ -72,11 +72,14 @@ class ScaffoldPGSRScene(ScaffoldScene):
             scaling_modifier=self.config.scaling_modifier,
             instance_cap=self.config.instance_cap,
             backend=self.config.backend,
-            mean2d_offset=mean2d_offset)
+            mean2d_offset=mean2d_offset,
+            band_axis=self._axis if band else None,
+            band_count=self._n_dev if band else 1)
 
     # ------------------------------------------------------------------
     def _train_step(self, sh_degree, multi_view, state, camera, near_camera,
-                    cam_uid, near_uid, gt, near_gray, bg, step, key):
+                    cam_uid, near_uid, gt, near_gray, bg, step, key,
+                    par=None):
         g = self.gaussians
         cfg = self.config
         gcfg = cfg.gaussians
@@ -97,11 +100,12 @@ class ScaffoldPGSRScene(ScaffoldScene):
 
         K = gcfg.n_offsets
         CAK = state.anchors.offset.shape[0] * K
+        band = par == "band"
 
         def loss_fn(anchors, mlp, m2d_offset):
             ng, out = self.decode_and_render(
                 anchors, mlp, camera, cam_uid, visible, state.active, bg,
-                mean2d_offset=m2d_offset, level_scale_gate=gate)
+                mean2d_offset=m2d_offset, level_scale_gate=gate, band=band)
             lam = cfg.lambda_dssim
             terms = {
                 "L1_loss": (1.0 - lam) * l1_loss(out.image, gt),
@@ -117,7 +121,7 @@ class ScaffoldPGSRScene(ScaffoldScene):
                     w_img * jnp.sum(jnp.abs(dnormal - out.normal), axis=-1))
                 _, near_out = self.decode_and_render(
                     anchors, mlp, near_camera, near_uid, n_visible,
-                    state.active, bg, level_scale_gate=n_gate)
+                    state.active, bg, level_scale_gate=n_gate, band=band)
                 geo, ncc_l = self._multi_view_losses(
                     out, near_out, camera, near_camera, rgb_to_gray(gt),
                     near_gray, key)
@@ -130,6 +134,11 @@ class ScaffoldPGSRScene(ScaffoldScene):
             loss_fn, argnums=(0, 1, 2), has_aux=True)(
                 state.anchors, state.mlp, zeros2d)
 
+        ga = self._pmerge_grads(ga)
+        gm = self._pmerge_grads(gm)
+        if band:
+            m2d_grad = jax.lax.pmean(m2d_grad, self._axis)
+
         a_lrs, m_lrs = g.learning_rates(step)
         new_anchors, adam_a = g.adam_step(state.anchors, ga,
                                           state.adam_anchor, a_lrs)
@@ -138,6 +147,8 @@ class ScaffoldPGSRScene(ScaffoldScene):
         upd_stats = g.update_stats(state.stats, ng.neural_opacity, ng.mask,
                                    out.radii, m2d_grad, visible, state.active,
                                    g.ndc_grad_scale(self.width, self.height))
+        if par == "dp":
+            upd_stats = g.dp_merge_stats(state.stats, upd_stats, self._axis)
         stats = jax.tree.map(lambda new, old: jnp.where(in_window, new, old),
                              upd_stats, state.stats)
         new_state = state._replace(anchors=new_anchors, mlp=new_mlp,
@@ -147,31 +158,68 @@ class ScaffoldPGSRScene(ScaffoldScene):
         metrics["loss"] = loss
         metrics["num_rendered"] = out.num_rendered
         metrics["overflow"] = out.overflow
-        return new_state, metrics
+        return new_state, self._pmerge_metrics(metrics)
+
+    def _build_step_fn_spgsr(self, multi: bool):
+        par = self._pmode
+        if par is None:
+            return jax.jit(functools.partial(self._train_step, 0, multi),
+                           donate_argnums=(0,))
+        from jax.sharding import PartitionSpec as P
+        cam_spec, gt_spec = self._shard_specs()
+
+        if par == "dp":
+            def body(state, cam_b, near_b, uid_b, nuid_b, gt_b, ngray_b,
+                     bg, step, key):
+                cam = jax.tree.map(lambda x: x[0], cam_b)
+                near = jax.tree.map(lambda x: x[0], near_b)
+                return self._train_step(
+                    0, multi, state, cam, near, uid_b[0], nuid_b[0],
+                    gt_b[0], ngray_b[0], bg, step, key, par="dp")
+        else:
+            def body(state, cam, near, uid, nuid, gt, ngray, bg, step, key):
+                return self._train_step(
+                    0, multi, state, cam, near, uid, nuid, gt, ngray,
+                    bg, step, key, par="band")
+
+        fn = jax.shard_map(
+            body, mesh=self._mesh,
+            in_specs=(P(), cam_spec, cam_spec, cam_spec, cam_spec,
+                      gt_spec, gt_spec, P(), P(), P()),
+            out_specs=(P(), P()), check_vma=False)
+        return jax.jit(fn, donate_argnums=(0,))
 
     def train_step(self, state, camera, step: int):
+        cams = camera if self._pmode == "dp" else [camera]
         multi = (step > self.config.multi_view_from
-                 and len(camera.near_ids) > 0)
+                 and all(len(c.near_ids) > 0 for c in cams))
         fn = self._jit_cache.get(("train", multi))
         if fn is None:
-            fn = jax.jit(functools.partial(self._train_step, 0, multi),
-                         donate_argnums=(0,))
+            fn = self._build_step_fn_spgsr(multi)
             self._jit_cache[("train", multi)] = fn
         bg = self.get_background(step)
-        gt = jnp.asarray(camera.image, jnp.float32)
         if multi:
-            near = self.dataloader.train_cameras[
-                self.key_host_choice(camera.near_ids)]
-            near_arr = near.arrays()
-            near_uid = jnp.asarray(near.uid)
-            near_gray = jnp.asarray(
-                np.asarray(rgb_to_gray(jnp.asarray(near.image))),
-                jnp.float32)
+            pairs = [PGSRScene._near_for(self, c) for c in cams]
+            near_cams = [p[0] for p in pairs]
+            near_grays = [p[1] for p in pairs]
         else:
-            near_arr = camera.arrays()
-            near_uid = jnp.asarray(camera.uid)
-            near_gray = jnp.zeros((self.height, self.width), jnp.float32)
+            near_cams = cams
+            near_grays = [jnp.zeros((self.height, self.width), jnp.float32)
+                          for _ in cams]
         self.key, k = jax.random.split(self.key)
-        return fn(state, camera.arrays(), near_arr, jnp.asarray(camera.uid),
-                  near_uid, gt, near_gray, bg,
-                  jnp.asarray(step, jnp.float32), k)
+        if self._pmode == "dp":
+            cam_arrays, gt = self._batch_cameras(cams)
+            near_arr = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                    *[c.arrays() for c in near_cams])
+            near_gray = jnp.stack(near_grays)
+            uid = jnp.asarray([c.uid for c in cams])
+            near_uid = jnp.asarray([c.uid for c in near_cams])
+        else:
+            cam_arrays = camera.arrays()
+            gt = jnp.asarray(camera.image, jnp.float32)
+            near_arr = near_cams[0].arrays()
+            near_gray = near_grays[0]
+            uid = jnp.asarray(camera.uid)
+            near_uid = jnp.asarray(near_cams[0].uid)
+        return fn(state, cam_arrays, near_arr, uid, near_uid, gt,
+                  near_gray, bg, jnp.asarray(step, jnp.float32), k)

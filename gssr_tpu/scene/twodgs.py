@@ -69,7 +69,8 @@ class TwoDGSScene(VanillaScene):
                              spatial_lr_scale=self.cameras_extent)
 
     def render_params(self, params, camera, sh_degree: int, active, bg,
-                      mean2d_offset=None):
+                      mean2d_offset=None, band_axis=None,
+                      band_count: int = 1):
         g = self.gaussians
         out = rasterize_2d(
             params.xyz, g.get_scaling(params), g.get_rotation(params),
@@ -81,7 +82,8 @@ class TwoDGSScene(VanillaScene):
             instance_cap=self.config.instance_cap,
             backend=self.config.backend,
             depth_ratio=self.config.depth_ratio,
-            mean2d_offset=mean2d_offset)
+            mean2d_offset=mean2d_offset,
+            band_axis=band_axis, band_count=band_count)
         return out
 
     def loss_terms(self, out, gt, camera_extra=None, step=None):
@@ -93,6 +95,7 @@ class TwoDGSScene(VanillaScene):
 
     # the camera is needed inside loss_terms for the depth->normal
     # unprojection; VanillaScene's train step passes it via this hook
-    def _train_step(self, sh_degree, state, camera, gt, bg, step):
+    def _train_step(self, sh_degree, state, camera, gt, bg, step, par=None):
         self._current_camera = camera
-        return super()._train_step(sh_degree, state, camera, gt, bg, step)
+        return super()._train_step(sh_degree, state, camera, gt, bg, step,
+                                   par=par)

@@ -58,6 +58,69 @@ class VanillaScene:
         self.width, self.height = cam0.width, cam0.height
         self.key = jax.random.PRNGKey(seed)
         self._jit_cache: Dict = {}
+        # multi-chip mode: None (single device) | "dp" | "band"
+        self._pmode: Optional[str] = None
+        self._axis = "dev"
+        self._mesh = None
+        self._n_dev = 1
+
+    # ------------------------------------------------------------------
+    def setup_parallel(self, mode: str, devices=None):
+        """Train across a chip mesh (SURVEY §2.3; the reference refuses
+        world_size>1, train.py:78-80).
+
+        mode "dp":   one camera per device, per-gaussian grads pmean'd
+                     over ICI, densify stats delta-merged.
+        mode "band": ONE camera, its tile rows banded across devices;
+                     blended maps all_gather'd so every loss sees the full
+                     frame (ops/band.py), grads pmean'd.
+        State stays replicated either way, so densify/eval/checkpoint code
+        is untouched.
+        """
+        from jax.sharding import Mesh
+        devices = list(devices if devices is not None else jax.devices())
+        if mode == "band":
+            from gssr_tpu.ops.rasterize import pad_to_tiles
+            from gssr_tpu.ops.projection import TILE
+            ph = pad_to_tiles(self.width, self.height)[1]
+            if (ph // TILE) % len(devices) != 0:
+                raise ValueError(
+                    f"band mode needs the {ph // TILE} tile rows to divide "
+                    f"evenly over {len(devices)} devices")
+        elif mode != "dp":
+            raise ValueError(f"unknown parallel mode {mode!r}")
+        self._mesh = Mesh(np.asarray(devices), (self._axis,))
+        self._pmode = mode
+        self._n_dev = len(devices)
+        self._jit_cache.clear()
+
+    def _pmerge_grads(self, grads):
+        """Parameter-gradient all-reduce over the mesh (exact: see
+        ops/band.py gradient story for the band case)."""
+        if self._pmode is None:
+            return grads
+        return jax.tree.map(
+            lambda x: jax.lax.pmean(x, self._axis), grads)
+
+    def _pmerge_metrics(self, metrics):
+        if self._pmode is None:
+            return metrics
+        ax = self._axis
+        out = {}
+        for k, v in metrics.items():
+            v = jnp.asarray(v)
+            if k in ("num_rendered", "overflow"):
+                out[k] = jax.lax.pmax(v.astype(jnp.float32), ax)
+            else:
+                out[k] = jax.lax.pmean(v.astype(jnp.float32), ax)
+        return out
+
+    def _shard_specs(self):
+        """(cam_spec, gt_spec) for the parallel step's shard_map."""
+        from jax.sharding import PartitionSpec as P
+        if self._pmode == "dp":
+            return P(self._axis), P(self._axis)
+        return P(), P()
 
     # ------------------------------------------------------------------
     def bump_instance_cap(self) -> int:
@@ -81,7 +144,8 @@ class VanillaScene:
 
     # ------------------------------------------------------------------
     def render_params(self, params, camera: CameraArrays, sh_degree: int,
-                      active, bg, mean2d_offset=None):
+                      active, bg, mean2d_offset=None,
+                      band_axis=None, band_count: int = 1):
         g = self.gaussians
         return rasterize(
             params.xyz, g.get_scaling(params), g.get_rotation(params),
@@ -92,7 +156,8 @@ class VanillaScene:
             scaling_modifier=self.config.scaling_modifier,
             instance_cap=self.config.instance_cap,
             backend=self.config.backend,
-            mean2d_offset=mean2d_offset)
+            mean2d_offset=mean2d_offset,
+            band_axis=band_axis, band_count=band_count)
 
     def loss_terms(self, out, gt, camera_extra=None, step=None):
         """Method-specific losses; subclasses override/extend."""
@@ -104,13 +169,16 @@ class VanillaScene:
 
     # ------------------------------------------------------------------
     def _train_step(self, sh_degree: int, state: GaussianState,
-                    camera: CameraArrays, gt, bg, step):
+                    camera: CameraArrays, gt, bg, step, par=None):
         g = self.gaussians
+        band = par == "band"
 
         def loss_fn(params, m2d_offset):
-            out = self.render_params(params, camera, sh_degree,
-                                     state.active, bg,
-                                     mean2d_offset=m2d_offset)
+            out = self.render_params(
+                params, camera, sh_degree, state.active, bg,
+                mean2d_offset=m2d_offset,
+                band_axis=self._axis if band else None,
+                band_count=self._n_dev if band else 1)
             terms = self.loss_terms(out, gt, step=step)
             return sum(terms.values()), (out, terms)
 
@@ -118,30 +186,74 @@ class VanillaScene:
         (loss, (out, terms)), (pgrads, m2d_grad) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(state.params, zeros2d)
 
+        pgrads = self._pmerge_grads(pgrads)
+        if band:
+            # band-partial screen grads x n_band (all_gather VJP) -> exact
+            m2d_grad = jax.lax.pmean(m2d_grad, self._axis)
+
         lrs = g.learning_rates(step)
         new_params, new_adam = g.adam_step(state.params, pgrads,
                                            state.adam, lrs)
         new_stats = g.update_stats(state.stats, out.radii, m2d_grad,
                                    g.ndc_grad_scale(self.width, self.height))
+        if par == "dp":
+            # each device accumulated its own camera's stats delta
+            new_stats = g.dp_merge_stats(state.stats, new_stats, self._axis)
         new_state = state._replace(params=new_params, adam=new_adam,
                                    stats=new_stats)
         metrics = dict(terms)
         metrics["loss"] = loss
         metrics["num_rendered"] = out.num_rendered
         metrics["overflow"] = out.overflow
-        return new_state, metrics
+        return new_state, self._pmerge_metrics(metrics)
 
-    def train_step(self, state: GaussianState, camera: Camera, step: int):
-        """Python-side wrapper: picks the static SH degree, feeds arrays."""
+    def _build_step_fn(self, sh_degree: int):
+        """jitted (and, in a parallel mode, shard_map'd) train step."""
+        par = self._pmode
+        if par is None:
+            return jax.jit(functools.partial(self._train_step, sh_degree),
+                           donate_argnums=(0,))
+        from jax.sharding import PartitionSpec as P
+        cam_spec, gt_spec = self._shard_specs()
+
+        if par == "dp":
+            def body(state, cam_b, gt_b, bg, step):
+                cam = jax.tree.map(lambda x: x[0], cam_b)
+                return self._train_step(sh_degree, state, cam, gt_b[0],
+                                        bg, step, par="dp")
+        else:
+            def body(state, cam, gt, bg, step):
+                return self._train_step(sh_degree, state, cam, gt,
+                                        bg, step, par="band")
+
+        fn = jax.shard_map(
+            body, mesh=self._mesh,
+            in_specs=(P(), cam_spec, gt_spec, P(), P()),
+            out_specs=(P(), P()), check_vma=False)
+        return jax.jit(fn, donate_argnums=(0,))
+
+    def _batch_cameras(self, cameras):
+        cam_arrays = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                  *[c.arrays() for c in cameras])
+        gts = jnp.stack([jnp.asarray(c.image, jnp.float32)
+                         for c in cameras])
+        return cam_arrays, gts
+
+    def train_step(self, state: GaussianState, camera, step: int):
+        """Python-side wrapper: picks the static SH degree, feeds arrays.
+        In dp mode `camera` is a list of n_dev cameras."""
         sh_degree = self.gaussians.active_sh_degree(step)
         fn = self._jit_cache.get(("train", sh_degree))
         if fn is None:
-            fn = jax.jit(functools.partial(self._train_step, sh_degree),
-                         donate_argnums=(0,))
+            fn = self._build_step_fn(sh_degree)
             self._jit_cache[("train", sh_degree)] = fn
         bg = self.get_background(step)
-        gt = jnp.asarray(camera.image, jnp.float32)
-        return fn(state, camera.arrays(), gt, bg,
+        if self._pmode == "dp":
+            cam_arrays, gt = self._batch_cameras(camera)
+        else:
+            cam_arrays = camera.arrays()
+            gt = jnp.asarray(camera.image, jnp.float32)
+        return fn(state, cam_arrays, gt, bg,
                   jnp.asarray(step, jnp.float32))
 
     # ------------------------------------------------------------------
