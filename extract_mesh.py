@@ -20,7 +20,7 @@ def eval_setup(config_path: str, iteration=None):
     from gssr_tpu.configs.base import load_config_yaml
     from gssr_tpu.configs.methods import build_scene
     config = load_config_yaml(config_path)
-    # artifacts live next to the config file regardless of原 output_path
+    # artifacts live next to the config file regardless of output_path
     run_dir = Path(config_path).parent
     scene = build_scene(config)
     gdir = run_dir / config.trainer.relative_gaussian_dir
@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--num-cluster", type=int, default=1)
     ap.add_argument("--alpha-thres", type=float, default=0.5)
     ap.add_argument("--skip-images", action="store_true")
+    ap.add_argument("--eval-gt", default=None, metavar="GT_MESH_PLY",
+                    help="ground-truth mesh to evaluate F1/chamfer against")
+    ap.add_argument("--eval-tau", type=float, nargs="+", default=[0.05],
+                    help="F-score distance threshold(s)")
     args = ap.parse_args()
 
     from gssr_tpu.utils.mesh_extract import GaussianExtractor, write_mesh_ply
@@ -72,6 +76,17 @@ def main():
     mesh_path = out_dir / "fused_mesh.ply"
     write_mesh_ply(str(mesh_path), np.asarray(verts), np.asarray(faces))
     print(f"saved {mesh_path} ({len(verts)} verts, {len(faces)} faces)")
+
+    if args.eval_gt:
+        import json
+        from gssr_tpu.utils.mesh_eval import eval_mesh_files
+        metrics = eval_mesh_files(str(mesh_path), args.eval_gt,
+                                  taus=args.eval_tau)
+        with open(out_dir / "mesh_metrics.json", "w") as f:
+            json.dump(metrics, f, indent=2)
+        print("mesh eval vs", args.eval_gt)
+        for k, v in metrics.items():
+            print(f"  {k}: {v:.5f}")
 
 
 if __name__ == "__main__":

@@ -35,6 +35,9 @@ def main():
     ap.add_argument("--depth-trunc", type=float, default=10.0)
     ap.add_argument("--num-cluster", type=int, default=1)
     ap.add_argument("--out", default=None)
+    ap.add_argument("--eval-gt", default=None, metavar="GT_MESH_PLY",
+                    help="ground-truth mesh to evaluate F1/chamfer against")
+    ap.add_argument("--eval-tau", type=float, nargs="+", default=[0.05])
     args = ap.parse_args()
 
     from extract_mesh import eval_setup
@@ -91,6 +94,17 @@ def main():
     out = args.out or os.path.join(args.runs_root, "fused_mesh.ply")
     write_mesh_ply(out, np.asarray(verts), np.asarray(faces))
     print(f"saved {out} ({len(verts)} verts, {len(faces)} faces)")
+
+    if args.eval_gt:
+        import json
+        from gssr_tpu.utils.mesh_eval import eval_mesh_files
+        metrics = eval_mesh_files(out, args.eval_gt, taus=args.eval_tau)
+        with open(os.path.join(os.path.dirname(out) or ".",
+                               "mesh_metrics.json"), "w") as f:
+            json.dump(metrics, f, indent=2)
+        print("mesh eval vs", args.eval_gt)
+        for k, v in metrics.items():
+            print(f"  {k}: {v:.5f}")
 
 
 if __name__ == "__main__":

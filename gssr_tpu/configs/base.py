@@ -81,6 +81,10 @@ class Config:
     experiment_name: Optional[str] = None
     timestamp: str = "{timestamp}"
     eval: bool = False
+    # train_split.py only: retrain tiles that already have a DONE marker
+    # (default is to skip them, making tile sweeps resumable — SURVEY §5
+    # flags the reference's always-retrain behaviour as a deficiency)
+    retrain: bool = False
 
     machine: MachineConfig = field(default_factory=MachineConfig)
     trainer: TrainerConfig = field(default_factory=TrainerConfig)

@@ -72,6 +72,7 @@ class Trainer:
         callbacks = list(getattr(scene, "get_training_callbacks",
                                  lambda t: [])(self) or [])
         prev_overflow = None    # device flag from the previous step
+        prev_vb_overflow = None
 
         for step in range(self.start_step + 1, tcfg.iterations + 1):
             if tcfg.profile_dir and tcfg.profile_steps \
@@ -100,6 +101,12 @@ class Trainer:
                       f"auto-bumped instance_cap to {new_cap} "
                       "(next step recompiles)")
             prev_overflow = metrics.get("overflow")
+            if prev_vb_overflow is not None and bool(prev_vb_overflow):
+                new_f = scene.bump_visible_budget()
+                print(f"[warn] visible-anchor budget overflow at step "
+                      f"{step - 1}; auto-bumped visible_budget_factor to "
+                      f"{new_f:.3g} (next step recompiles)")
+            prev_vb_overflow = metrics.get("vb_overflow")
             if tcfg.profile_dir and len(tcfg.profile_steps) > 1 \
                     and step == tcfg.profile_steps[1]:
                 import jax

@@ -91,6 +91,12 @@ class ScaffoldGaussianConfig:
 
     capacity: int = 0
     capacity_multiplier: float = 4.0
+    # compact visible anchors to a static budget of
+    # round128(capacity * visible_budget_factor) rows before the MLP
+    # decode (the reference decodes only compacted visible anchors,
+    # scaffold_scene.py:27-40; a dense decode over the full capacity
+    # wastes 4-10x MLP FLOPs). <=0 or >=1 disables compaction.
+    visible_budget_factor: float = 0.5
 
 
 class AnchorParams(NamedTuple):
@@ -140,14 +146,22 @@ class ScaffoldState(NamedTuple):
 
 
 class NeuralGaussians(NamedTuple):
-    """Decoded per-offset gaussians, flattened to [CA*K] with a mask."""
+    """Decoded per-offset gaussians, flattened to [VB*K] with a mask.
+
+    VB is the static visible-anchor budget when compaction is on (see
+    ScaffoldGaussianConfig.visible_budget_factor), else the full anchor
+    capacity CA. anchor_idx/valid map compacted rows back to anchor slots
+    for the densification statistics."""
     xyz: jnp.ndarray
     color: jnp.ndarray
     opacity: jnp.ndarray       # masked neural opacity (0 where off)
-    scaling: jnp.ndarray       # [CA*K,3] activated
-    rotation: jnp.ndarray      # [CA*K,4]
-    mask: jnp.ndarray          # [CA*K] bool — visible & op>0 & active
-    neural_opacity: jnp.ndarray  # [CA*K] raw tanh output
+    scaling: jnp.ndarray       # [VB*K,3] activated
+    rotation: jnp.ndarray      # [VB*K,4]
+    mask: jnp.ndarray          # [VB*K] bool — visible & op>0 & active
+    neural_opacity: jnp.ndarray  # [VB*K] raw tanh output
+    anchor_idx: jnp.ndarray = None  # [VB] int32 source anchor slot
+    valid: jnp.ndarray = None       # [VB] bool — slot holds a real anchor
+    vb_overflow: jnp.ndarray = None  # [] bool — visible count exceeded VB
 
 
 def _linear_init(key, fan_in, fan_out):
@@ -247,16 +261,49 @@ class ScaffoldGaussians:
             n_active=jnp.asarray(n, jnp.int32))
 
     # ------------------------------------------------------------------
+    def visible_budget(self, cap: int):
+        """Static compacted-decode row budget, or None when disabled."""
+        f = self.config.visible_budget_factor
+        if f <= 0.0 or f >= 1.0:
+            return None
+        return min(-(-int(cap * f) // 128) * 128, cap)
+
     def decode(self, anchors: AnchorParams, mlp: MLPParams, campos,
                cam_uid, visible_mask, active,
                level_scale_gate=None) -> NeuralGaussians:
-        """generate_neural_gaussians (scaffold_scene.py:27-120), dense.
+        """generate_neural_gaussians (scaffold_scene.py:27-120).
+
+        When visible_budget_factor is set, visible anchors are first
+        rank-compacted to a static budget VB so the MLP heads run on
+        ~the live visible set instead of the full capacity (the reference
+        decodes only masked-compacted anchors; dense decode wastes the
+        capacity headroom as MLP FLOPs).
 
         level_scale_gate: optional multiplier on decoded opacity used by
-        Octree-GS progressive training (applied per anchor).
+        Octree-GS progressive training (applied per anchor, full [CA]).
         """
         cfg = self.config
         K = cfg.n_offsets
+        ca = anchors.anchor.shape[0]
+        vb = self.visible_budget(ca)
+        gate_full = visible_mask & active
+        if vb is None:
+            idx = valid = None
+            vb_overflow = jnp.zeros((), bool)
+            gate = gate_full
+        else:
+            rank = jnp.cumsum(gate_full.astype(jnp.int32)) - 1
+            n_vis = rank[-1] + 1
+            tgt = jnp.where(gate_full & (rank < vb), rank, vb)
+            idx = jnp.zeros(vb + 1, jnp.int32).at[tgt].set(
+                jnp.arange(ca, dtype=jnp.int32), mode="drop")[:vb]
+            valid = jnp.arange(vb) < jnp.minimum(n_vis, vb)
+            vb_overflow = n_vis > vb
+            anchors = jax.tree.map(lambda a: a[idx], anchors)
+            if level_scale_gate is not None:
+                level_scale_gate = level_scale_gate[idx]
+            gate = valid
+
         ob = anchors.anchor - campos
         dist = jnp.linalg.norm(ob, axis=-1, keepdims=True)
         view = ob / (dist + 1e-12)
@@ -301,19 +348,19 @@ class ScaffoldGaussians:
         xyz = (anchors.anchor[:, None, :]
                + anchors.offset * anchor_scaling[:, None, :3])
 
-        gate = visible_mask & active
-        mask = gate[:, None] & (neural_op > 0.0)              # [CA,K]
+        mask = gate[:, None] & (neural_op > 0.0)              # [VB,K]
         opac = jnp.where(mask, neural_op, 0.0)
 
-        CAK = mask.shape[0] * K
+        VBK = mask.shape[0] * K
         return NeuralGaussians(
-            xyz=xyz.reshape(CAK, 3),
-            color=color.reshape(CAK, 3),
-            opacity=opac.reshape(CAK),
-            scaling=g_scaling.reshape(CAK, 3),
-            rotation=g_rot.reshape(CAK, 4),
-            mask=mask.reshape(CAK),
-            neural_opacity=neural_op.reshape(CAK))
+            xyz=xyz.reshape(VBK, 3),
+            color=color.reshape(VBK, 3),
+            opacity=opac.reshape(VBK),
+            scaling=g_scaling.reshape(VBK, 3),
+            rotation=g_rot.reshape(VBK, 4),
+            mask=mask.reshape(VBK),
+            neural_opacity=neural_op.reshape(VBK),
+            anchor_idx=idx, valid=valid, vb_overflow=vb_overflow)
 
     # ------------------------------------------------------------------
     def learning_rates(self, step):
@@ -363,6 +410,25 @@ class ScaffoldGaussians:
             lambda o, l: o + jax.lax.psum(l - o, axis), old, local)
 
     # ------------------------------------------------------------------
+    def expand_stats_inputs(self, ng: NeuralGaussians, radii, mean2d_grad,
+                            cap: int):
+        """Scatter compacted [VB*K] decode outputs back to anchor-slot
+        order [CA*K] for update_stats. Identity when compaction is off."""
+        if ng.anchor_idx is None:
+            return ng.neural_opacity, ng.mask, radii, mean2d_grad
+        K = self.config.n_offsets
+        vb = ng.anchor_idx.shape[0]
+        tgt = jnp.where(ng.valid, ng.anchor_idx, cap)  # cap = dump row
+
+        def back(a):
+            a = a.reshape(vb, K, *a.shape[1:])
+            out = jnp.zeros((cap + 1,) + a.shape[1:], a.dtype)
+            out = out.at[tgt].set(a, mode="drop")
+            return out[:cap].reshape((cap * K,) + a.shape[2:])
+
+        return back(ng.neural_opacity), back(ng.mask), back(radii), \
+            back(mean2d_grad)
+
     def update_stats(self, stats: ScaffoldStats, neural_opacity, mask,
                      radii, mean2d_grad, visible_mask, active, grad_scale):
         """training_statis (scaffold_gaussian.py:488-508).

@@ -33,9 +33,12 @@ def band_ty0(band_axis: str, band_ty: int):
 
 
 def clip_to_band(rect, tiles_full, tile_mask, ty0, band_ty: int
-                 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray]]:
+                 ) -> Tuple[jnp.ndarray, jnp.ndarray, Optional[jnp.ndarray],
+                            jnp.ndarray]:
     """Clip tile rects to rows [ty0, ty0+band_ty) and rebase to band-local
-    rows. Returns (rect_band, tiles_band, mask_band).
+    rows. Returns (rect_band, tiles_band, mask_band, exact_band) where
+    exact_band is the exact valid-instance count within the band
+    (popcount of the in-window clipped mask + the beyond-window area).
 
     tiles_full gates culled gaussians: their rect can be geometrically
     non-degenerate (tile_rect clamps, it does not collapse), so the band
@@ -68,7 +71,23 @@ def clip_to_band(rect, tiles_full, tile_mask, ty0, band_ty: int
                       (~jnp.uint32(0))
                       << jnp.clip(keep, 0, 31).astype(jnp.uint32)))
         mask_band = (shifted | fill).astype(jnp.int32)
-    return rect_band, tiles_band, mask_band
+
+    from gssr_tpu.ops.projection import MASK_TILES, _popcount32
+    if mask_band is None:
+        exact_band = tiles_band
+    else:
+        window = jnp.minimum(tiles_band, MASK_TILES)
+        keep_bits = jnp.where(
+            window >= 32, ~jnp.uint32(0),
+            (jnp.uint32(1) << jnp.clip(window, 0, 31).astype(jnp.uint32))
+            - 1)
+        in_window = _popcount32(
+            (mask_band.astype(jnp.uint32) & keep_bits).astype(jnp.int32))
+        exact_band = jnp.where(
+            tiles_band > 0,
+            in_window + jnp.maximum(tiles_band - MASK_TILES, 0),
+            0).astype(jnp.int32)
+    return rect_band, tiles_band, mask_band, exact_band
 
 
 def shift_mean2d(mean2d, ty0):

@@ -28,11 +28,66 @@ class Binning(NamedTuple):
     num_rendered: jnp.ndarray  # [] int32 total valid instances (pre-clamp)
     overflow: jnp.ndarray      # [] bool — true if capacity was exceeded
     tile_counts: jnp.ndarray = None  # [num_tiles] int32 REAL (unpadded) counts
+    # sorted-segment-reduction support (see segment_reduce_sorted): gaussian
+    # id per slot with sentinel N for padding/culled slots, and the [N+1]
+    # per-gaussian segment boundaries in gid-sorted order (exclusive cumsum
+    # of the exact per-gaussian valid-instance counts)
+    gid_reduce: jnp.ndarray = None   # [I] int32
+    seg_bounds: jnp.ndarray = None   # [N+1] int32
+
+
+def segment_reduce_sorted(vals, gid_reduce, seg_bounds, block: int = 128):
+    """Per-gaussian sums of per-instance values WITHOUT a scatter.
+
+    XLA's scatter-add costs ~18ns/row regardless of width (the top single
+    backward cost at ~43ms for 2.4M instances on v5e). Instead: sort the
+    value columns by gaussian id (radix sort moves payloads coalesced,
+    ~10ms for 10 columns), then take prefix sums ONLY at the N+1
+    per-gaussian segment boundaries — known cheaply from the exact tile
+    counts, no searchsorted — via a two-level blocked prefix:
+
+      * per column, reshape [I] -> [I/128, 128] and cumsum the MINOR axis
+        (a full [I, C] axis-0 cumsum pads the C=9 minor dim to 128 lanes,
+        a 14x bandwidth waste, and scans a multi-million-long axis — that
+        formulation measured SLOWER than the scatter it replaces);
+      * a tiny [I/128] block-prefix scan;
+      * one monotone flat gather of the within-block prefix at each
+        boundary (monotone gathers from big tables are fast on TPU).
+
+    prefix(p) = blockpre[p // 128] + within[p - 1 | guarded], and the
+    per-gaussian sum is prefix(bounds[g+1]) - prefix(bounds[g]).
+
+    vals: [I, C] float32, I a multiple of `block` (instance_cap is
+    128-chunk aligned). Padding slots may hold garbage: their gid is the
+    sentinel N and sorts past seg_bounds[-1], structurally excluded.
+    Returns [N, C].
+    """
+    i_cap = vals.shape[0]
+    assert i_cap % block == 0, "instance_cap must be block-aligned"
+    cols = tuple(vals[:, i] for i in range(vals.shape[1]))
+    out = jax.lax.sort((gid_reduce,) + cols, num_keys=1)
+
+    pb = seg_bounds // block                      # [N+1] block index
+    po = seg_bounds - pb * block                  # [N+1] within-block offset
+    # flat index of the inclusive within-block prefix at p-1; when po == 0
+    # the within-block term is zero — clamp the index and mask it out
+    flat = jnp.clip(seg_bounds - 1, 0, i_cap - 1)
+    has_within = po > 0
+
+    res = []
+    for c in out[1:]:
+        w = jnp.cumsum(c.reshape(-1, block), axis=1)     # [I/B, B] inclusive
+        blockpre = jnp.concatenate(
+            [jnp.zeros(1, c.dtype), jnp.cumsum(w[:, -1])])  # [I/B+1] excl.
+        prefix = blockpre[pb] + jnp.where(has_within, w.reshape(-1)[flat],
+                                          0.0)           # [N+1]
+        res.append(prefix[1:] - prefix[:-1])
+    return jnp.stack(res, axis=1)
 
 
 def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
                   instance_cap: int, chunk: int = 1,
-                  tile_mask=None) -> Binning:
+                  tile_mask=None, exact_counts=None) -> Binning:
     """Build the depth-sorted per-tile instance list.
 
     Args:
@@ -49,9 +104,18 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
         tiles_touched must be the matching exact count and instances
         enumerate only the set bits (rect tiles past MASK_TILES follow
         unconditionally).
+      exact_counts: optional [N] int32 exact valid-instance count per
+        gaussian (Projected.exact_tiles). Enables gid_reduce/seg_bounds
+        for the sorted segment-reduction backward.
     """
     num_tiles = tiles_x * tiles_y
     n = depth.shape[0]
+    seg_bounds = None
+    if exact_counts is not None:
+        seg_bounds = jnp.minimum(
+            jnp.concatenate([jnp.zeros(1, jnp.int32),
+                             jnp.cumsum(exact_counts).astype(jnp.int32)]),
+            instance_cap)
 
     offsets = jnp.cumsum(tiles_touched)                  # [N] inclusive
     num_rendered = offsets[-1]
@@ -110,12 +174,16 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
     ).astype(jnp.int32)
 
     if chunk == 1:
+        valid1 = sorted_tile < num_tiles
         return Binning(gauss_id=sorted_gauss, tile_of=sorted_tile,
-                       valid=sorted_tile < num_tiles,
+                       valid=valid1,
                        tile_ranges=tile_ranges,
                        num_rendered=jnp.minimum(num_rendered, instance_cap),
                        overflow=num_rendered > instance_cap,
-                       tile_counts=tile_ranges[1:] - tile_ranges[:-1])
+                       tile_counts=tile_ranges[1:] - tile_ranges[:-1],
+                       gid_reduce=(jnp.where(valid1, sorted_gauss, n)
+                                   if seg_bounds is not None else None),
+                       seg_bounds=seg_bounds)
 
     # --- move into chunk-aligned per-tile ranges (gather formulation) ----
     assert instance_cap % chunk == 0, "instance_cap must be chunk-aligned"
@@ -162,4 +230,7 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
     return Binning(gauss_id=gauss_p, tile_of=tile_p, valid=in_range,
                    tile_ranges=padded_starts,
                    num_rendered=jnp.minimum(num_rendered, instance_cap),
-                   overflow=overflow, tile_counts=counts)
+                   overflow=overflow, tile_counts=counts,
+                   gid_reduce=(jnp.where(in_range, gauss_p, n)
+                               if seg_bounds is not None else None),
+                   seg_bounds=seg_bounds)

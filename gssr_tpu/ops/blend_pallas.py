@@ -454,17 +454,54 @@ def _gather_rows_bwd(n_used, res, dg):
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gather_rows_segred(per_gauss, gauss_id, gid_reduce, seg_bounds, n_used):
+    """per_gauss[gauss_id] whose VJP is the sorted segment reduction
+    (binning.segment_reduce_sorted) instead of a scatter-add: ~25ms vs
+    ~43ms for 9 columns at 2.4M instances on v5e."""
+    return per_gauss[gauss_id]
+
+
+def _grs_fwd(per_gauss, gauss_id, gid_reduce, seg_bounds, n_used):
+    return per_gauss[gauss_id], (per_gauss.shape, gauss_id, gid_reduce,
+                                 seg_bounds)
+
+
+def _grs_bwd(n_used, res, dg):
+    from gssr_tpu.ops.binning import segment_reduce_sorted
+    (n, width), gauss_id, gid_reduce, seg_bounds = res
+    dpg = segment_reduce_sorted(dg[:, :n_used], gid_reduce, seg_bounds)
+    dpg = jnp.concatenate(
+        [dpg, jnp.zeros((n, width - n_used), dg.dtype)], axis=1)
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return dpg, f0(gauss_id), f0(gid_reduce), f0(seg_bounds)
+
+
+gather_rows_segred.defvjp(_grs_fwd, _grs_bwd)
+
+
 def pack_instance_attrs(mean2d, conic, color, opacity, binning: Binning):
     """Gather per-gaussian attrs into the sorted-instance layout
     [NUM_ATTRS, I]. One packed [N, A] gather (TPU random gathers are slow;
     a row gather amortizes the index cost over all attrs); its VJP is the
-    per-gaussian scatter-add of instance gradients, narrowed to the 9
-    differentiable rows."""
+    per-gaussian reduction of instance gradients over the 9 differentiable
+    rows — the sorted segment reduction when binning carries seg_bounds,
+    else a scatter-add."""
     n = mean2d.shape[0]
     zeros = jnp.zeros((n, NUM_ATTRS - 9), jnp.float32)
     per_gauss = jnp.concatenate([
         mean2d, conic, opacity[:, None], color, zeros], axis=1)  # [N, 16]
-    gathered = gather_rows(per_gauss, binning.gauss_id, 9)       # [I, A]
+    # default OFF: profiling shows XLA already lowers the scatter-add as
+    # sort + segmented reduce on TPU (sort.13 + fusion in the trace), so
+    # the explicit formulation saves nothing in situ (34ms vs 34.6ms
+    # isolated) and its extra residuals cost ~15ms in the pipeline
+    if binning.seg_bounds is not None and \
+            os.environ.get("GSSR_TPU_SEGRED", "0") == "1":
+        gathered = gather_rows_segred(per_gauss, binning.gauss_id,
+                                      binning.gid_reduce,
+                                      binning.seg_bounds, 9)     # [I, A]
+    else:
+        gathered = gather_rows(per_gauss, binning.gauss_id, 9)   # [I, A]
     attrs = gathered.T.at[ATTR_VALID].set(
         binning.valid.astype(jnp.float32))
     return attrs

@@ -33,6 +33,10 @@ class Projected(NamedTuple):
     tiles_touched: jnp.ndarray  # [N] int32
     cov2d: jnp.ndarray      # [N,3] 2D covariance (xx, xy, yy) pre-inversion
     tile_mask: jnp.ndarray = None  # [N] int32 intersect bits (see tile_intersect_mask)
+    exact_tiles: jnp.ndarray = None  # [N] int32 exact valid-instance count
+    # (mask popcount + beyond-window area) — the per-gaussian segment
+    # lengths of the binning's valid instances, used for the sorted
+    # segment-reduction backward (binning.seg_bounds)
 
 
 MASK_TILES = 32  # rect tiles covered by the per-gaussian intersect bitmask
@@ -149,21 +153,29 @@ def compute_cov2d(means3d, cov3d, w2c, fx, fy, tan_fovx, tan_fovy,
     j12 = -fy * tytz * inv_z2
 
     W = w2c[:3, :3]                                  # world->cam rotation
-    # M = J @ W : [N,2,3]
-    m0 = j00[..., None] * W[0] + j02[..., None] * W[2]
-    m1 = j11[..., None] * W[1] + j12[..., None] * W[2]
+    # M = J @ W : rows m0/m1 as [N] component columns (structure-of-arrays
+    # — batched [N,3,3] einsums lower to slow XLA loop fusions, see
+    # general.build_covariance)
+    m00 = j00 * W[0, 0] + j02 * W[2, 0]
+    m01 = j00 * W[0, 1] + j02 * W[2, 1]
+    m02 = j00 * W[0, 2] + j02 * W[2, 2]
+    m10 = j11 * W[1, 0] + j12 * W[2, 0]
+    m11 = j11 * W[1, 1] + j12 * W[2, 1]
+    m12 = j11 * W[1, 2] + j12 * W[2, 2]
 
     c = cov3d
-    Sigma = jnp.stack([
-        jnp.stack([c[..., 0], c[..., 1], c[..., 2]], -1),
-        jnp.stack([c[..., 1], c[..., 3], c[..., 4]], -1),
-        jnp.stack([c[..., 2], c[..., 4], c[..., 5]], -1),
-    ], -2)                                           # [N,3,3]
-    s0 = jnp.einsum("ni,nij->nj", m0, Sigma)
-    s1 = jnp.einsum("ni,nij->nj", m1, Sigma)
-    cxx = jnp.einsum("ni,ni->n", s0, m0) + COV2D_DILATE
-    cxy = jnp.einsum("ni,ni->n", s0, m1)
-    cyy = jnp.einsum("ni,ni->n", s1, m1) + COV2D_DILATE
+    c0, c1, c2 = c[..., 0], c[..., 1], c[..., 2]
+    c3, c4, c5 = c[..., 3], c[..., 4], c[..., 5]
+    # s_r = m_r @ Sigma, then cov2d = s_r . m_r'
+    s00 = m00 * c0 + m01 * c1 + m02 * c2
+    s01 = m00 * c1 + m01 * c3 + m02 * c4
+    s02 = m00 * c2 + m01 * c4 + m02 * c5
+    s10 = m10 * c0 + m11 * c1 + m12 * c2
+    s11 = m10 * c1 + m11 * c3 + m12 * c4
+    s12 = m10 * c2 + m11 * c4 + m12 * c5
+    cxx = s00 * m00 + s01 * m01 + s02 * m02 + COV2D_DILATE
+    cxy = s00 * m10 + s01 * m11 + s02 * m12
+    cyy = s10 * m10 + s11 * m11 + s12 * m12 + COV2D_DILATE
     return jnp.stack([cxx, cxy, cyy], axis=-1)
 
 
@@ -257,14 +269,15 @@ def preprocess(means3d, scales, rotations, camera, width, height,
     else:
         cutoff = jnp.log(jnp.maximum(
             jax.lax.stop_gradient(opacity.reshape(-1)) * 255.0, 1.0 + 1e-6))
-    mask, _exact = tile_intersect_mask(
+    mask, exact = tile_intersect_mask(
         jax.lax.stop_gradient(mean2d), jax.lax.stop_gradient(conic),
         rect, cutoff, visible)
     tiles = (rect[..., 2] - rect[..., 0]) * (rect[..., 3] - rect[..., 1])
     tiles = jnp.where(visible, tiles, 0).astype(jnp.int32)
     # zero the rect extent for culled gaussians so binning skips them
     radius = jnp.where(tiles > 0, radius, 0)
+    exact = jnp.where(tiles > 0, exact, 0).astype(jnp.int32)
 
     return Projected(mean2d=mean2d, conic=conic, depth=depth, radius=radius,
                      rect=rect, tiles_touched=tiles, cov2d=cov2d,
-                     tile_mask=mask)
+                     tile_mask=mask, exact_tiles=exact)

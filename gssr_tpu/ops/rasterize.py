@@ -99,6 +99,7 @@ def rasterize(means3d, scales, rotations, opacity, camera,
     if band_axis is None:
         tiles_yb, render_h = ph // TILE, ph
         rect, tiles, mask = proj.rect, proj.tiles_touched, proj.tile_mask
+        exact = proj.exact_tiles
         mean2d_b = proj.mean2d
     else:
         from gssr_tpu.ops import band as band_ops
@@ -107,7 +108,7 @@ def rasterize(means3d, scales, rotations, opacity, camera,
         tiles_yb = (ph // TILE) // band_count
         render_h = tiles_yb * TILE
         ty0 = band_ops.band_ty0(band_axis, tiles_yb)
-        rect, tiles, mask = band_ops.clip_to_band(
+        rect, tiles, mask, exact = band_ops.clip_to_band(
             proj.rect, proj.tiles_touched, proj.tile_mask, ty0, tiles_yb)
         mean2d_b = band_ops.shift_mean2d(proj.mean2d, ty0)
 
@@ -121,7 +122,8 @@ def rasterize(means3d, scales, rotations, opacity, camera,
         jax.lax.stop_gradient(proj.depth),
         jax.lax.stop_gradient(tiles),
         pw // TILE, tiles_yb, instance_cap, chunk=chunk,
-        tile_mask=mask)
+        tile_mask=mask,
+        exact_counts=jax.lax.stop_gradient(exact))
 
     opacity = opacity.reshape(-1)
     image, final_T = _blend_dispatch(mean2d_b, proj.conic, color, opacity,

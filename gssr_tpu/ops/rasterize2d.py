@@ -68,7 +68,7 @@ def rasterize_2d(means3d, scales2, rotations, opacity, camera,
         tiles_yb = (ph // TILE) // band_count
         render_h = tiles_yb * TILE
         ty0 = band_ops.band_ty0(band_axis, tiles_yb)
-        rect, tiles, _ = band_ops.clip_to_band(
+        rect, tiles, _, _ = band_ops.clip_to_band(
             proj.rect, proj.tiles_touched, None, ty0, tiles_yb)
         mean2d_b = band_ops.shift_mean2d(proj.mean2d, ty0)
         # the homogeneous splat->pixel map projects to GLOBAL pixel rows;

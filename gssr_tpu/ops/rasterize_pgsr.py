@@ -97,7 +97,7 @@ def rasterize_pgsr(means3d, scales, rotations, opacity, camera,
         tiles_yb = (ph // TILE) // band_count
         render_h = tiles_yb * TILE
         ty0 = band_ops.band_ty0(band_axis, tiles_yb)
-        rect, tiles, mask = band_ops.clip_to_band(
+        rect, tiles, mask, _ = band_ops.clip_to_band(
             proj.rect, proj.tiles_touched, proj.tile_mask, ty0, tiles_yb)
         mean2d_b = band_ops.shift_mean2d(proj.mean2d, ty0)
 

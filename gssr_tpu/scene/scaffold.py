@@ -98,6 +98,17 @@ class ScaffoldScene(VanillaScene):
         """Octree hook: per-anchor (visibility extra-mask, opacity gate)."""
         return None, None
 
+    def bump_visible_budget(self) -> float:
+        """Grow the compacted-decode anchor budget after a vb_overflow
+        (visible anchors exceeded the static budget; the overflowing
+        frame rendered with a truncated anchor set). Mirrors
+        bump_instance_cap: raise the factor 1.5x (1.0 disables
+        compaction) and retrace."""
+        cfg = self.config.gaussians
+        cfg.visible_budget_factor = min(cfg.visible_budget_factor * 1.5, 1.0)
+        self._jit_cache.clear()
+        return cfg.visible_budget_factor
+
     # ------------------------------------------------------------------
     def _train_step(self, sh_degree, state: ScaffoldState, camera, cam_uid,
                     gt, bg, step, par=None):
@@ -111,7 +122,8 @@ class ScaffoldScene(VanillaScene):
         visible = jax.lax.stop_gradient(visible)
 
         K = cfg.n_offsets
-        CAK = state.anchors.offset.shape[0] * K
+        CA = state.anchors.offset.shape[0]
+        VBK = (g.visible_budget(CA) or CA) * K
 
         def loss_fn(anchors, mlp, m2d_offset):
             ng, out = self.decode_and_render(
@@ -125,7 +137,7 @@ class ScaffoldScene(VanillaScene):
             terms.update(self.extra_losses(ng, out, step, camera))
             return sum(terms.values()), (out, ng, terms)
 
-        zeros2d = jnp.zeros((CAK, 2), jnp.float32)
+        zeros2d = jnp.zeros((VBK, 2), jnp.float32)
         (loss, (out, ng, terms)), (ga, gm, m2d_grad) = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True)(
                 state.anchors, state.mlp, zeros2d)
@@ -141,8 +153,10 @@ class ScaffoldScene(VanillaScene):
         new_mlp, adam_m = g.adam_step(state.mlp, gm, state.adam_mlp, m_lrs)
 
         in_window = (step > cfg.start_stat) & (step < cfg.densify_until_iter)
-        upd_stats = g.update_stats(state.stats, ng.neural_opacity, ng.mask,
-                                   out.radii, m2d_grad, visible, state.active,
+        d_op, d_mask, d_radii, d_m2d = g.expand_stats_inputs(
+            ng, out.radii, m2d_grad, CA)
+        upd_stats = g.update_stats(state.stats, d_op, d_mask,
+                                   d_radii, d_m2d, visible, state.active,
                                    g.ndc_grad_scale(self.width, self.height))
         if par == "dp":
             upd_stats = g.dp_merge_stats(state.stats, upd_stats, self._axis)
@@ -157,6 +171,8 @@ class ScaffoldScene(VanillaScene):
         metrics["loss"] = loss
         metrics["num_rendered"] = out.num_rendered
         metrics["overflow"] = out.overflow
+        if ng.vb_overflow is not None:
+            metrics["vb_overflow"] = ng.vb_overflow
         return new_state, self._pmerge_metrics(metrics)
 
     def _build_step_fn(self, sh_degree: int):

@@ -99,7 +99,8 @@ class ScaffoldPGSRScene(ScaffoldScene):
             n_visible = jax.lax.stop_gradient(n_visible)
 
         K = gcfg.n_offsets
-        CAK = state.anchors.offset.shape[0] * K
+        CA = state.anchors.offset.shape[0]
+        VBK = (g.visible_budget(CA) or CA) * K
         band = par == "band"
 
         def loss_fn(anchors, mlp, m2d_offset):
@@ -129,7 +130,7 @@ class ScaffoldPGSRScene(ScaffoldScene):
                 terms["ncc_loss"] = ncc_l
             return sum(terms.values()), (out, ng, terms)
 
-        zeros2d = jnp.zeros((CAK, 2), jnp.float32)
+        zeros2d = jnp.zeros((VBK, 2), jnp.float32)
         (loss, (out, ng, terms)), (ga, gm, m2d_grad) = jax.value_and_grad(
             loss_fn, argnums=(0, 1, 2), has_aux=True)(
                 state.anchors, state.mlp, zeros2d)
@@ -144,8 +145,10 @@ class ScaffoldPGSRScene(ScaffoldScene):
                                           state.adam_anchor, a_lrs)
         new_mlp, adam_m = g.adam_step(state.mlp, gm, state.adam_mlp, m_lrs)
         in_window = (step > gcfg.start_stat) & (step < gcfg.densify_until_iter)
-        upd_stats = g.update_stats(state.stats, ng.neural_opacity, ng.mask,
-                                   out.radii, m2d_grad, visible, state.active,
+        d_op, d_mask, d_radii, d_m2d = g.expand_stats_inputs(
+            ng, out.radii, m2d_grad, CA)
+        upd_stats = g.update_stats(state.stats, d_op, d_mask,
+                                   d_radii, d_m2d, visible, state.active,
                                    g.ndc_grad_scale(self.width, self.height))
         if par == "dp":
             upd_stats = g.dp_merge_stats(state.stats, upd_stats, self._axis)
@@ -158,6 +161,8 @@ class ScaffoldPGSRScene(ScaffoldScene):
         metrics["loss"] = loss
         metrics["num_rendered"] = out.num_rendered
         metrics["overflow"] = out.overflow
+        if ng.vb_overflow is not None:
+            metrics["vb_overflow"] = ng.vb_overflow
         return new_state, self._pmerge_metrics(metrics)
 
     def _build_step_fn_spgsr(self, multi: bool):

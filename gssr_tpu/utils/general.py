@@ -79,12 +79,30 @@ def build_covariance(scaling, rotation, scaling_modifier: float = 1.0):
 
     Returns the symmetric upper-triangular 6-vector (xx, xy, xz, yy, yz, zz),
     same packing the reference CUDA uses (forward.cu computeCov3D).
+
+    Structure-of-arrays on purpose: cov[i,k] = sum_j R[i,j] R[k,j] s_j^2 as
+    ~30 elementwise ops over [N] columns. The naive [N,3,3] batched-matmul
+    formulation lowers to XLA loop fusions that cost ~8ms at N=200k on v5e
+    — three orders of magnitude off the VPU elementwise cost.
     """
-    R = quat_to_rotmat(rotation)
-    S = scaling_modifier * scaling
-    L = R * S[..., None, :]          # R @ diag(S)
-    cov = L @ jnp.swapaxes(L, -1, -2)
-    return jnp.stack([
-        cov[..., 0, 0], cov[..., 0, 1], cov[..., 0, 2],
-        cov[..., 1, 1], cov[..., 1, 2], cov[..., 2, 2],
-    ], axis=-1)
+    q = rotation / (jnp.linalg.norm(rotation, axis=-1, keepdims=True)
+                    + 1e-12)
+    w, x, y, z = q[..., 0], q[..., 1], q[..., 2], q[..., 3]
+    r00 = 1 - 2 * (y * y + z * z)
+    r01 = 2 * (x * y - w * z)
+    r02 = 2 * (x * z + w * y)
+    r10 = 2 * (x * y + w * z)
+    r11 = 1 - 2 * (x * x + z * z)
+    r12 = 2 * (y * z - w * x)
+    r20 = 2 * (x * z - w * y)
+    r21 = 2 * (y * z + w * x)
+    r22 = 1 - 2 * (x * x + y * y)
+    s = scaling_modifier * scaling
+    s0, s1, s2 = s[..., 0] ** 2, s[..., 1] ** 2, s[..., 2] ** 2
+    xx = r00 * r00 * s0 + r01 * r01 * s1 + r02 * r02 * s2
+    xy = r00 * r10 * s0 + r01 * r11 * s1 + r02 * r12 * s2
+    xz = r00 * r20 * s0 + r01 * r21 * s1 + r02 * r22 * s2
+    yy = r10 * r10 * s0 + r11 * r11 * s1 + r12 * r12 * s2
+    yz = r10 * r20 * s0 + r11 * r21 * s1 + r12 * r22 * s2
+    zz = r20 * r20 * s0 + r21 * r21 * s1 + r22 * r22 * s2
+    return jnp.stack([xx, xy, xz, yy, yz, zz], axis=-1)

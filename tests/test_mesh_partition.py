@@ -104,3 +104,65 @@ def test_mesh_ply_roundtrip(tmp_path):
     v2, f2 = read_mesh_ply(p)
     assert np.allclose(v2, v, atol=1e-6)
     assert (f2 == f).all()
+
+
+def _icosphere_mesh(radius=1.0, n=40, center=(0.0, 0.0, 0.0)):
+    """Sphere mesh via marching tetrahedra on an SDF grid."""
+    from gssr_tpu.utils.mtet import marching_tetrahedra
+    lin = np.linspace(-1.3 * radius, 1.3 * radius, n)
+    gx, gy, gz = np.meshgrid(lin, lin, lin, indexing="ij")
+    sdf = np.sqrt(gx ** 2 + gy ** 2 + gz ** 2) - radius
+    sp = lin[1] - lin[0]
+    v, f = marching_tetrahedra(sdf, spacing=(sp,) * 3,
+                               origin=(lin[0],) * 3)
+    return v + np.asarray(center), f
+
+
+def test_mesh_eval_identical_mesh_perfect_f1():
+    from gssr_tpu.utils.mesh_eval import mesh_metrics
+    v, f = _icosphere_mesh()
+    m = mesh_metrics(v, f, v, f, n_points=20000, taus=(0.05,))
+    assert m["f1@0.05"] > 0.999
+    # chamfer floor is inter-sample spacing (~sqrt(area/n)), not zero
+    assert m["chamfer"] < 0.05
+
+
+def test_mesh_eval_offset_mesh_known_distance():
+    # translate the sphere by 0.3: nearest-surface distance is bounded by
+    # the offset, F1 at tau=0.05 collapses, F1 at tau=0.4 recovers
+    from gssr_tpu.utils.mesh_eval import mesh_metrics
+    v, f = _icosphere_mesh()
+    v2, f2 = _icosphere_mesh(center=(0.3, 0.0, 0.0))
+    m = mesh_metrics(v2, f2, v, f, n_points=20000, taus=(0.05, 0.4))
+    assert m["f1@0.05"] < 0.6
+    assert m["f1@0.4"] > 0.999
+    assert 0.05 < m["chamfer"] < 0.6
+    # accuracy/completeness symmetric for a pure translation
+    assert abs(m["accuracy_mean"] - m["completeness_mean"]) < 0.02
+
+
+def test_mesh_eval_files_roundtrip(tmp_path):
+    from gssr_tpu.utils.mesh_extract import write_mesh_ply
+    from gssr_tpu.utils.mesh_eval import eval_mesh_files
+    v, f = _icosphere_mesh(n=24)
+    p1 = str(tmp_path / "pred.ply")
+    p2 = str(tmp_path / "gt.ply")
+    write_mesh_ply(p1, v, f)
+    write_mesh_ply(p2, v + 0.01, f)
+    m = eval_mesh_files(p1, p2, n_points=5000, taus=(0.1,))
+    assert m["f1@0.1"] > 0.99
+
+
+def test_mesh_eval_degenerate_inputs():
+    from gssr_tpu.utils.mesh_eval import (point_cloud_metrics,
+                                          sample_points_on_mesh)
+    # empty mesh -> no samples; metrics defined (inf / 0) not crashing
+    pts = sample_points_on_mesh(np.zeros((0, 3)), np.zeros((0, 3), int), 100)
+    assert pts.shape == (0, 3)
+    m = point_cloud_metrics(pts, np.random.default_rng(0).random((50, 3)))
+    assert m["f1@0.05"] == 0.0
+    # all-degenerate faces fall back to vertex sampling
+    v = np.random.default_rng(1).random((10, 3))
+    f = np.tile(np.arange(1)[:, None], (4, 3))  # zero-area triangles
+    pts = sample_points_on_mesh(v, f, 64)
+    assert pts.shape == (64, 3)

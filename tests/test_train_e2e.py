@@ -90,3 +90,85 @@ def test_densify_grows_and_prunes():
     reset = jax.jit(g.reset_opacity)(new_state)
     op = jax.nn.sigmoid(reset.params.opacity)
     assert float(op.max()) <= 0.011
+
+
+def test_scaffold_compact_decode_matches_dense():
+    """Compacted (visible-budget) decode must reproduce the dense decode
+    exactly on the visible anchors, and mask off everything else."""
+    import dataclasses
+    import jax
+    import jax.numpy as jnp
+    from gssr_tpu.models.scaffold import (ScaffoldGaussianConfig,
+                                          ScaffoldGaussians)
+
+    rng = np.random.default_rng(3)
+    pts = rng.uniform(-1, 1, (64, 3))
+    cfg_dense = ScaffoldGaussianConfig(capacity=256, n_offsets=4,
+                                       appearance_dim=0,
+                                       visible_budget_factor=0.0)
+    cfg_comp = dataclasses.replace(cfg_dense, visible_budget_factor=0.5)
+    gd = ScaffoldGaussians(cfg_dense, 2.0, num_cameras=2)
+    gc = ScaffoldGaussians(cfg_comp, 2.0, num_cameras=2)
+    state = gd.create_from_points(pts)
+    CA, K = state.anchors.offset.shape[:2]
+
+    campos = jnp.asarray([0.0, 0.0, -3.0])
+    visible = jnp.asarray(rng.random(CA) < 0.6) & state.active
+    uid = jnp.asarray(0)
+
+    dense = jax.jit(gd.decode)(state.anchors, state.mlp, campos, uid,
+                               visible, state.active)
+    comp = jax.jit(gc.decode)(state.anchors, state.mlp, campos, uid,
+                              visible, state.active)
+    assert comp.anchor_idx is not None and not bool(comp.vb_overflow)
+    vb = comp.anchor_idx.shape[0]
+    assert vb == 128  # round128(256 * 0.5)
+
+    # expand compacted outputs back to anchor-slot order and compare
+    d_op, d_mask, _, _ = gc.expand_stats_inputs(
+        comp, jnp.zeros(vb * K), jnp.zeros((vb * K, 2)), CA)
+    dm = np.asarray(dense.mask)
+    assert (np.asarray(d_mask) == dm).all()
+    np.testing.assert_allclose(np.asarray(d_op)[dm],
+                               np.asarray(dense.neural_opacity)[dm],
+                               rtol=1e-6, atol=1e-6)
+    # per-gaussian payloads agree row-for-row through anchor_idx
+    idx = np.asarray(comp.anchor_idx)
+    valid = np.asarray(comp.valid)
+    for f in ("xyz", "color", "opacity", "scaling", "rotation"):
+        cv = np.asarray(getattr(comp, f)).reshape(vb, K, -1)[valid]
+        dv = np.asarray(getattr(dense, f)).reshape(CA, K, -1)[idx[valid]]
+        np.testing.assert_allclose(cv, dv, rtol=1e-5, atol=1e-6)
+
+    # gradients through the compacted decode match the dense decode
+    def loss_d(anchors):
+        ng = gd.decode(anchors, state.mlp, campos, uid, visible,
+                       state.active)
+        return jnp.sum(jnp.where(ng.mask, ng.opacity, 0.0) ** 2)
+
+    def loss_c(anchors):
+        ng = gc.decode(anchors, state.mlp, campos, uid, visible,
+                       state.active)
+        return jnp.sum(jnp.where(ng.mask, ng.opacity, 0.0) ** 2)
+
+    g1 = jax.jit(jax.grad(loss_d))(state.anchors)
+    g2 = jax.jit(jax.grad(loss_c))(state.anchors)
+    for l1, l2 in zip(jax.tree.leaves(g1), jax.tree.leaves(g2)):
+        np.testing.assert_allclose(np.asarray(l1), np.asarray(l2),
+                                   rtol=1e-5, atol=1e-6)
+
+
+def test_scaffold_compact_decode_overflow_flag():
+    import jax.numpy as jnp
+    from gssr_tpu.models.scaffold import (ScaffoldGaussianConfig,
+                                          ScaffoldGaussians)
+    rng = np.random.default_rng(4)
+    pts = rng.uniform(-1, 1, (200, 3))
+    cfg = ScaffoldGaussianConfig(capacity=256, n_offsets=2,
+                                 appearance_dim=0,
+                                 visible_budget_factor=0.3)  # VB=128 < 200
+    g = ScaffoldGaussians(cfg, 2.0, num_cameras=1)
+    state = g.create_from_points(pts)
+    ng = g.decode(state.anchors, state.mlp, jnp.zeros(3), jnp.asarray(0),
+                  state.active, state.active)
+    assert bool(ng.vb_overflow)

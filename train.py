@@ -26,6 +26,9 @@ def main(config: Config):
     trainer = Trainer(config)
     trainer.setup()
     trainer.train()
+    # completion marker: train_split.py skips tiles whose latest run has one
+    (config.get_base_dir() / "DONE").write_text(
+        f"iterations={config.trainer.iterations}\n")
     return trainer
 
 
