@@ -172,3 +172,43 @@ def test_scaffold_compact_decode_overflow_flag():
     ng = g.decode(state.anchors, state.mlp, jnp.zeros(3), jnp.asarray(0),
                   state.active, state.active)
     assert bool(ng.vb_overflow)
+
+
+def test_train_split_skips_done_tiles(tmp_path, capsys, monkeypatch):
+    """train_split must skip tiles whose latest run has a DONE marker and
+    retrain them when --retrain is set."""
+    from synthetic import write_synthetic_colmap_scene
+    from gssr_tpu.utils.partition import split_scene
+    write_synthetic_colmap_scene(str(tmp_path / "scene"), n_cams=8,
+                                 n_pts=64, width=32, height=32)
+    split_scene(str(tmp_path / "scene"), str(tmp_path / "tiles"),
+                num_col=2, num_row=1, visibility_threshold=0.3)
+
+    from gssr_tpu.configs.methods import get_method_config
+    config = get_method_config("3dgs")
+    config.source_path = str(tmp_path / "tiles")
+    config.output_path = str(tmp_path / "out")
+    config.experiment_name = "split_run"
+    config.trainer.iterations = 2
+    config.trainer.test_iterations = []
+    config.trainer.save_iterations = [2]
+    config.scene.instance_cap = 2048
+    config.scene.backend = "reference"
+    config.scene.gaussians = config.scene.gaussians.__class__(capacity=256)
+
+    import copy as copy_mod
+    import train_split
+    monkeypatch.setattr(train_split, "parse_config",
+                        lambda: copy_mod.deepcopy(config))
+    train_split.main()
+    out1 = capsys.readouterr().out
+    assert out1.count("=== training") == 2 and "skipping" not in out1
+
+    train_split.main()
+    out2 = capsys.readouterr().out
+    assert out2.count("=== skipping") == 2 and "=== training" not in out2
+
+    config.retrain = True
+    train_split.main()
+    out3 = capsys.readouterr().out
+    assert out3.count("=== training") == 2

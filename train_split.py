@@ -26,7 +26,7 @@ def main():
     config.set_timestamp()
 
     import train as train_mod
-    trained = []
+    trained, skipped = [], []
     for i, tile_dir in enumerate(tiles):
         if i % n_hosts != rank:
             continue
@@ -34,10 +34,22 @@ def main():
         tcfg.source_path = tile_dir
         tcfg.experiment_name = os.path.join(
             config.experiment_name, os.path.basename(tile_dir))
+        # resumable tile sweep: a DONE marker (written by train.main after
+        # the final save) in any prior run of this tile/method skips it —
+        # the reference always retrains every tile (SURVEY §5 deficiency)
+        done = glob.glob(os.path.join(
+            config.output_path, tcfg.experiment_name,
+            str(config.method_name), "*", "DONE"))
+        if done and not config.retrain:
+            print(f"=== skipping {tile_dir} (done: {done[-1]}; "
+                  "--retrain true to force) ===")
+            skipped.append(tile_dir)
+            continue
         print(f"=== training {tile_dir} ({i + 1}/{len(tiles)}) ===")
         train_mod.main(tcfg)
         trained.append(tile_dir)
-    print(f"trained {len(trained)} tiles on host {rank}/{n_hosts}")
+    print(f"trained {len(trained)} tiles (skipped {len(skipped)} done) "
+          f"on host {rank}/{n_hosts}")
 
 
 if __name__ == "__main__":
