@@ -32,6 +32,11 @@ class MachineConfig:
     parallel: str = "none"
     # devices to use for the parallel mode; 0 = all local devices
     num_devices: int = 0
+    # bring up jax.distributed at launch (multi-process / multi-host).
+    # Also triggered by GSSR_COORDINATOR / GSSR_NUM_PROCESSES env vars;
+    # see gssr_tpu/parallel/launch.py. The reference's dist_url analogue
+    # is dead code (reference train.py:78-80 refuses world_size > 1).
+    dist_init: bool = False
 
 
 @dataclass

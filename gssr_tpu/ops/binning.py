@@ -87,7 +87,8 @@ def segment_reduce_sorted(vals, gid_reduce, seg_bounds, block: int = 128):
 
 def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
                   instance_cap: int, chunk: int = 1,
-                  tile_mask=None, exact_counts=None) -> Binning:
+                  tile_mask=None, exact_counts=None,
+                  need_valid: bool = True) -> Binning:
     """Build the depth-sorted per-tile instance list.
 
     Args:
@@ -107,6 +108,11 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
       exact_counts: optional [N] int32 exact valid-instance count per
         gaussian (Projected.exact_tiles). Enables gid_reduce/seg_bounds
         for the sorted segment-reduction backward.
+      need_valid: when False (chunked path only), skip the per-instance
+        valid channel entirely — one cummax broadcast, the compare chain
+        and the [16, I] ATTR_VALID row write all disappear (~8ms at 2.4M
+        instances). Callers must then derive lane validity from
+        tile_counts (the Pallas kernels do: lane < count - k*CHUNK).
     """
     num_tiles = tiles_x * tiles_y
     n = depth.shape[0]
@@ -216,8 +222,19 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
     # replaces (padded_start, unpadded_start): src = ii - shift, and
     # src >= tile_ranges[t] holds automatically within a segment
     seg_shift = bcast(padded_starts[:-1] - tile_ranges[:-1])
-    seg_nxt = bcast(tile_ranges[1:])             # unpadded end of tile
     src = ii - seg_shift                         # candidate source index
+    # src >= 0 always: the broadcast value at slot ii was scattered at a
+    # padded start <= ii and shift <= that start
+    if not (need_valid or seg_bounds is not None):
+        # fast path: padding slots gather a neighbouring tile's gaussian
+        # (harmless garbage — the kernels mask lanes >= tile_counts[t]
+        # and the VJP masks slots >= tile_ranges[-1])
+        gauss_p = sorted_gauss[src]
+        return Binning(gauss_id=gauss_p, tile_of=None, valid=None,
+                       tile_ranges=padded_starts,
+                       num_rendered=jnp.minimum(num_rendered, instance_cap),
+                       overflow=overflow, tile_counts=counts)
+    seg_nxt = bcast(tile_ranges[1:])             # unpadded end of tile
     in_range = (src >= 0) & (src < seg_nxt) & (ii < total_padded)
     gauss_p = jnp.where(in_range,
                         sorted_gauss[jnp.where(in_range, src, 0)], 0)

@@ -69,10 +69,12 @@ FAR_N = 100.0
 M_COEF = FAR_N / (FAR_N - NEAR_N)
 
 
-def _surfel_alpha(A, px, py):
+def _surfel_alpha(A, px, py, nvalid=None):
     """Per-(pixel, instance) surfel evaluation for one chunk.
 
     A: (NUM_ATTRS2, CHUNK). Returns (a, aux), a is (PIX, CHUNK).
+    nvalid: real-lane count for this chunk (tile_counts[t] - k*CHUNK);
+    when given the A_VALID row is not read (need_valid=False binning).
     """
     r = lambda i: A[i:i + 1, :]
     tw0, tw1, tw2 = r(A_TW), r(A_TW + 1), r(A_TW + 2)
@@ -103,7 +105,12 @@ def _surfel_alpha(A, px, py):
     g_exp = jnp.exp(-0.5 * rho)
     raw = r(A_OP) * g_exp
     alpha = jnp.minimum(ALPHA_MAX, raw)
-    ok = ((r(A_VALID) > 0.5) & pz_ok & (depth >= NEAR_N)
+    if nvalid is None:
+        lane_ok = r(A_VALID) > 0.5
+    else:
+        lane_ok = jax.lax.broadcasted_iota(
+            jnp.int32, (1, CHUNK), 1) < nvalid
+    ok = (lane_ok & pz_ok & (depth >= NEAR_N)
           & (alpha >= ALPHA_MIN))
     a = jnp.where(ok, alpha, 0.0)
     safe_depth = jnp.maximum(depth, 1e-6)
@@ -114,12 +121,13 @@ def _surfel_alpha(A, px, py):
     return a, aux
 
 
-def _fwd2_kernel(tiles_x, ranges_ref, attrs_ref, out_ref,
+def _fwd2_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, out_ref,
                  abuf, acc_ref, state_ref, sem):
     t = pl.program_id(0)
     start = pl.multiple_of(ranges_ref[t], CHUNK)
     end = ranges_ref[t + 1]
     nchunks = (end - start) // CHUNK
+    count = counts_ref[t]                 # real (unpadded) instance count
 
     px, py = _pixel_cols(t, tiles_x)
     acc_ref[:] = jnp.zeros((PIX, OUT2_ROWS), jnp.float32)
@@ -156,7 +164,7 @@ def _fwd2_kernel(tiles_x, ranges_ref, attrs_ref, out_ref,
         @pl.when(do)
         def _():
             A = abuf[slot]
-            a, aux = _surfel_alpha(A, px, py)
+            a, aux = _surfel_alpha(A, px, py, count - k * CHUNK)
             one_m = 1.0 - a
             pfx = _prefix_prod_excl_lanes(one_m)
             d_before = state_ref[:, 0:1] * pfx
@@ -220,12 +228,14 @@ def _fwd2_kernel(tiles_x, ranges_ref, attrs_ref, out_ref,
     out_ref[0, :, :] = acc_ref[:, :]
 
 
-def _bwd2_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
+def _bwd2_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, fwd_ref,
+                 cot_ref, dattr_ref,
                  abuf, dbuf, state_ref, in_sem, out_sem):
     t = pl.program_id(0)
     start = pl.multiple_of(ranges_ref[t], CHUNK)
     end = ranges_ref[t + 1]
     nchunks = (end - start) // CHUNK
+    count = counts_ref[t]                 # real (unpadded) instance count
 
     px, py = _pixel_cols(t, tiles_x)
     dC = cot_ref[0, :, O_RGB:O_RGB + 3]          # (PIX, 3)
@@ -299,7 +309,7 @@ def _bwd2_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
         @pl.when(alive)
         def _():
             A = abuf[slot]
-            a, aux = _surfel_alpha(A, px, py)
+            a, aux = _surfel_alpha(A, px, py, count - k * CHUNK)
             one_m = 1.0 - a
             pfx = _prefix_prod_excl_lanes(one_m)
             d_before = state_ref[:, 0:1] * pfx
@@ -396,10 +406,10 @@ def _bwd2_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
 # wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-def _run_fwd2(attrs, ranges, tiles_x: int, tiles_y: int):
+def _run_fwd2(attrs, ranges, counts, tiles_x: int, tiles_y: int):
     num_tiles = tiles_x * tiles_y
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((1, PIX, OUT2_ROWS), lambda i, *_: (i, 0, 0),
@@ -417,13 +427,14 @@ def _run_fwd2(attrs, ranges, tiles_x: int, tiles_y: int):
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(ranges, attrs)
+    )(ranges, counts, attrs)
 
 
-def _run_bwd2(attrs, ranges, fwd_out, cot, tiles_x: int, tiles_y: int):
+def _run_bwd2(attrs, ranges, counts, fwd_out, cot,
+               tiles_x: int, tiles_y: int):
     num_tiles = tiles_x * tiles_y
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -447,7 +458,7 @@ def _run_bwd2(attrs, ranges, fwd_out, cot, tiles_x: int, tiles_y: int):
         grid_spec=grid_spec,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ranges, attrs, fwd_out, cot)
+    )(ranges, counts, attrs, fwd_out, cot)
 
 
 def _tiles_to_rows(out, tiles_x, tiles_y):
@@ -464,19 +475,19 @@ def _rows_to_tiles(rows, tiles_x, tiles_y):
     return x.reshape(tiles_y * tiles_x, PIX, OUT2_ROWS)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _blend2_core(attrs, ranges, tiles_x, tiles_y):
-    out = _run_fwd2(attrs, ranges, tiles_x, tiles_y)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _blend2_core(attrs, ranges, counts, tiles_x, tiles_y):
+    out = _run_fwd2(attrs, ranges, counts, tiles_x, tiles_y)
     return _tiles_to_rows(out, tiles_x, tiles_y)
 
 
-def _blend2_core_fwd(attrs, ranges, tiles_x, tiles_y):
-    out = _run_fwd2(attrs, ranges, tiles_x, tiles_y)
-    return _tiles_to_rows(out, tiles_x, tiles_y), (attrs, ranges, out)
+def _blend2_core_fwd(attrs, ranges, counts, tiles_x, tiles_y):
+    out = _run_fwd2(attrs, ranges, counts, tiles_x, tiles_y)
+    return _tiles_to_rows(out, tiles_x, tiles_y), (attrs, ranges, counts, out)
 
 
 def _blend2_core_bwd(tiles_x, tiles_y, res, g_rows):
-    attrs, ranges, fwd_out = res
+    attrs, ranges, counts, fwd_out = res
     # zero out cotangents of non-differentiable rows (sel_pos, median normal)
     mask = np.ones((OUT2_ROWS,), np.float32)
     mask[O_SELPOS] = 0.0
@@ -486,10 +497,12 @@ def _blend2_core_bwd(tiles_x, tiles_y, res, g_rows):
     mask[O_S1] = 0.0
     mask[O_S2] = 0.0
     cot = _rows_to_tiles(g_rows * jnp.asarray(mask), tiles_x, tiles_y)
-    dattrs = _run_bwd2(attrs, ranges, fwd_out, cot, tiles_x, tiles_y)
+    dattrs = _run_bwd2(attrs, ranges, counts, fwd_out, cot, tiles_x, tiles_y)
     # mask never-written tail slots (see vanilla _blend_core_bwd)
-    dattrs = jnp.where(attrs[A_VALID:A_VALID + 1, :] > 0.5, dattrs, 0.0)
-    return dattrs, np.zeros(ranges.shape, jax.dtypes.float0)
+    ii = jax.lax.iota(jnp.int32, dattrs.shape[1])
+    dattrs = jnp.where((ii < ranges[-1])[None, :], dattrs, 0.0)
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return dattrs, f0(ranges), f0(counts)
 
 
 _blend2_core.defvjp(_blend2_core_fwd, _blend2_core_bwd)
@@ -504,7 +517,10 @@ def pack_instance_attrs_2d(mean2d, Tmat, normal, color, opacity,
         mean2d, Tmat.reshape(n, 9), opacity[:, None], color, normal,
         zeros], axis=1)
     gathered = gather_rows(per_gauss, binning.gauss_id, 18)
-    return gathered.T.at[A_VALID].set(binning.valid.astype(jnp.float32))
+    attrs = gathered.T
+    if binning.valid is not None:
+        attrs = attrs.at[A_VALID].set(binning.valid.astype(jnp.float32))
+    return attrs
 
 
 class SurfelMaps:
@@ -526,5 +542,6 @@ def blend2d_pallas(mean2d, Tmat, normal, color, opacity, binning: Binning,
     tiles_x, tiles_y = width // TILE, height // TILE
     attrs = pack_instance_attrs_2d(mean2d, Tmat, normal, color, opacity,
                                    binning)
-    rows = _blend2_core(attrs, binning.tile_ranges, tiles_x, tiles_y)
+    rows = _blend2_core(attrs, binning.tile_ranges,
+                        binning.tile_counts, tiles_x, tiles_y)
     return SurfelMaps(rows)

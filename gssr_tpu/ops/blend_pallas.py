@@ -105,11 +105,17 @@ def _total_prod_lanes(x):
     return _prefix_prod_excl_lanes(x)[:, -1:] * x[:, -1:]
 
 
-def _chunk_alpha(A, px, py):
+def _chunk_alpha(A, px, py, nvalid=None):
     """Per-(pixel, instance) alpha for one chunk.
 
     A: (NUM_ATTRS, CHUNK) attrs. Returns (a, extras) with a (PIX, CHUNK) —
     zero wherever the CUDA loop would `continue`.
+
+    nvalid: scalar count of real (non-padding) lanes in this chunk
+    (tile_counts[t] - k*CHUNK; may exceed CHUNK or be <= 0). When given,
+    lane validity is lane_index < nvalid and the ATTR_VALID row is not
+    read — the binning then skips materializing the per-instance valid
+    channel entirely (bin_gaussians(need_valid=False)).
     """
     r = lambda i: A[i:i + 1, :]                 # (1, CHUNK)
     dx = r(ATTR_MX) - px                        # (PIX, CHUNK)
@@ -119,7 +125,12 @@ def _chunk_alpha(A, px, py):
     g_exp = jnp.exp(power)
     raw = r(ATTR_OP) * g_exp
     alpha = jnp.minimum(ALPHA_MAX, raw)
-    ok = (r(ATTR_VALID) > 0.5) & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    if nvalid is None:
+        lane_ok = r(ATTR_VALID) > 0.5
+    else:
+        lane_ok = jax.lax.broadcasted_iota(
+            jnp.int32, (1, CHUNK), 1) < nvalid
+    ok = lane_ok & (power <= 0.0) & (alpha >= ALPHA_MIN)
     a = jnp.where(ok, alpha, 0.0)
     return a, (dx, dy, g_exp, raw, ok)
 
@@ -144,12 +155,13 @@ def _in_copy_factory(attrs_ref, abuf, sem, start):
     return in_copy
 
 
-def _fwd_kernel(tiles_x, ranges_ref, attrs_ref, out_ref,
+def _fwd_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, out_ref,
                 abuf, acc_ref, state_ref, sem):
     t = pl.program_id(0)
     start = pl.multiple_of(ranges_ref[t], CHUNK)
     end = ranges_ref[t + 1]
     nchunks = (end - start) // CHUNK
+    count = counts_ref[t]                 # real (unpadded) instance count
 
     px, py = _pixel_cols(t, tiles_x)
     acc_ref[:] = jnp.zeros((PIX, OUT_ROWS), jnp.float32)
@@ -182,7 +194,7 @@ def _fwd_kernel(tiles_x, ranges_ref, attrs_ref, out_ref,
         @pl.when(do)
         def _():
             A = abuf[slot]
-            a, _extras = _chunk_alpha(A, px, py)
+            a, _extras = _chunk_alpha(A, px, py, count - k * CHUNK)
             one_m = 1.0 - a
             pfx = _prefix_prod_excl_lanes(one_m)
             d_before = state_ref[:, 0:1] * pfx
@@ -208,12 +220,13 @@ def _fwd_kernel(tiles_x, ranges_ref, attrs_ref, out_ref,
 # Backward kernel (two forward-order passes)
 # ---------------------------------------------------------------------------
 
-def _bwd_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
-                abuf, dbuf, state_ref, in_sem, out_sem):
+def _bwd_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, fwd_ref, cot_ref,
+                dattr_ref, abuf, dbuf, state_ref, in_sem, out_sem):
     t = pl.program_id(0)
     start = pl.multiple_of(ranges_ref[t], CHUNK)
     end = ranges_ref[t + 1]
     nchunks = (end - start) // CHUNK
+    count = counts_ref[t]                 # real (unpadded) instance count
 
     px, py = _pixel_cols(t, tiles_x)
     dacc = cot_ref[0, :, 0:3]                 # (PIX, 3)
@@ -266,7 +279,8 @@ def _bwd_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
         @pl.when(alive)
         def _():
             A = abuf[slot]
-            a, (dx, dy, g_exp, raw, ok) = _chunk_alpha(A, px, py)
+            a, (dx, dy, g_exp, raw, ok) = _chunk_alpha(
+                A, px, py, count - k * CHUNK)
             one_m = 1.0 - a
             pfx = _prefix_prod_excl_lanes(one_m)
             d_before = state_ref[:, 0:1] * pfx
@@ -328,10 +342,10 @@ def _bwd_kernel(tiles_x, ranges_ref, attrs_ref, fwd_ref, cot_ref, dattr_ref,
 # pallas_call wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-def _run_fwd(attrs, ranges, tiles_x: int, tiles_y: int):
+def _run_fwd(attrs, ranges, counts, tiles_x: int, tiles_y: int):
     num_tiles = tiles_x * tiles_y
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((1, PIX, OUT_ROWS), lambda i, *_: (i, 0, 0),
@@ -349,13 +363,13 @@ def _run_fwd(attrs, ranges, tiles_x: int, tiles_y: int):
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(ranges, attrs)
+    )(ranges, counts, attrs)
 
 
-def _run_bwd(attrs, ranges, fwd_out, cot, tiles_x: int, tiles_y: int):
+def _run_bwd(attrs, ranges, counts, fwd_out, cot, tiles_x: int, tiles_y: int):
     num_tiles = tiles_x * tiles_y
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(num_tiles,),
         in_specs=[
             pl.BlockSpec(memory_space=pltpu.HBM),
@@ -379,7 +393,7 @@ def _run_bwd(attrs, ranges, fwd_out, cot, tiles_x: int, tiles_y: int):
         grid_spec=grid_spec,
         interpret=_interpret(),
         compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ranges, attrs, fwd_out, cot)
+    )(ranges, counts, attrs, fwd_out, cot)
 
 
 def _tiles_to_image(out, tiles_x, tiles_y, rows):
@@ -397,33 +411,37 @@ def _image_to_tiles(img_rows, tiles_x, tiles_y):
     return x.reshape(tiles_y * tiles_x, PIX, OUT_ROWS)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(2, 3))
-def _blend_core(attrs, ranges, tiles_x, tiles_y):
-    out = _run_fwd(attrs, ranges, tiles_x, tiles_y)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def _blend_core(attrs, ranges, counts, tiles_x, tiles_y):
+    out = _run_fwd(attrs, ranges, counts, tiles_x, tiles_y)
     img = _tiles_to_image(out, tiles_x, tiles_y, 4)
     return img[..., :3], img[..., 3]
 
 
-def _blend_core_fwd(attrs, ranges, tiles_x, tiles_y):
-    out = _run_fwd(attrs, ranges, tiles_x, tiles_y)
+def _blend_core_fwd(attrs, ranges, counts, tiles_x, tiles_y):
+    out = _run_fwd(attrs, ranges, counts, tiles_x, tiles_y)
     img = _tiles_to_image(out, tiles_x, tiles_y, 4)
-    return (img[..., :3], img[..., 3]), (attrs, ranges, out)
+    return (img[..., :3], img[..., 3]), (attrs, ranges, counts, out)
 
 
 def _blend_core_bwd(tiles_x, tiles_y, res, cotangents):
-    attrs, ranges, fwd_out = res
+    attrs, ranges, counts, fwd_out = res
     d_img, d_T = cotangents
     H, W = d_img.shape[:2]
     cot_rows = jnp.concatenate(
         [d_img, d_T[..., None],
          jnp.zeros((H, W, OUT_ROWS - 4), jnp.float32)], axis=-1)
     cot = _image_to_tiles(cot_rows, tiles_x, tiles_y)
-    dattrs = _run_bwd(attrs, ranges, fwd_out, cot, tiles_x, tiles_y)
+    dattrs = _run_bwd(attrs, ranges, counts, fwd_out, cot, tiles_x, tiles_y)
     # instance slots past the last tile range are never written by the
-    # kernel; mask by the valid flag so uninitialized memory can't reach
-    # the scatter-add back to gaussians
-    dattrs = jnp.where(attrs[ATTR_VALID:ATTR_VALID + 1, :] > 0.5, dattrs, 0.0)
-    return dattrs, np.zeros(ranges.shape, jax.dtypes.float0)
+    # kernel (uninitialized memory); mask them before the scatter-add back
+    # to gaussians. In-range padding lanes get exact zeros from the kernel
+    # (alpha masked by lane < count), so this index compare fully replaces
+    # the old ATTR_VALID-row mask.
+    ii = jax.lax.iota(jnp.int32, dattrs.shape[1])
+    dattrs = jnp.where((ii < ranges[-1])[None, :], dattrs, 0.0)
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return dattrs, f0(ranges), f0(counts)
 
 
 _blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
@@ -502,8 +520,12 @@ def pack_instance_attrs(mean2d, conic, color, opacity, binning: Binning):
                                       binning.seg_bounds, 9)     # [I, A]
     else:
         gathered = gather_rows(per_gauss, binning.gauss_id, 9)   # [I, A]
-    attrs = gathered.T.at[ATTR_VALID].set(
-        binning.valid.astype(jnp.float32))
+    attrs = gathered.T
+    if binning.valid is not None:
+        # legacy valid channel (need_valid=True binning); the fast path
+        # leaves the ATTR_VALID row unused — kernels mask lanes by
+        # tile_counts instead, skipping this full [16, I] rewrite
+        attrs = attrs.at[ATTR_VALID].set(binning.valid.astype(jnp.float32))
     return attrs
 
 
@@ -516,6 +538,7 @@ def blend_pallas(mean2d, conic, color, opacity, binning: Binning,
     assert width % TILE == 0 and height % TILE == 0
     tiles_x, tiles_y = width // TILE, height // TILE
     attrs = pack_instance_attrs(mean2d, conic, color, opacity, binning)
-    acc, final_T = _blend_core(attrs, binning.tile_ranges, tiles_x, tiles_y)
+    acc, final_T = _blend_core(attrs, binning.tile_ranges,
+                               binning.tile_counts, tiles_x, tiles_y)
     image = acc + final_T[..., None] * bg
     return image, final_T

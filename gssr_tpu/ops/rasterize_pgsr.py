@@ -109,7 +109,10 @@ def rasterize_pgsr(means3d, scales, rotations, opacity, camera,
         jax.lax.stop_gradient(proj.depth),
         jax.lax.stop_gradient(tiles),
         pw // TILE, tiles_yb, instance_cap, chunk=chunk,
-        tile_mask=mask)
+        tile_mask=mask,
+        # pallas kernels mask lanes by tile_counts (see rasterize.py); the
+        # observe segment-sum below masks tail slots by index instead
+        need_valid=(backend != "pallas"))
 
     opacity = opacity.reshape(-1)
     N = means3d.shape[0]
@@ -119,9 +122,14 @@ def rasterize_pgsr(means3d, scales, rotations, opacity, camera,
                                  normal_c, distance, observe_offset,
                                  mean2d_abs_offset, binning, pw, render_h)
         obs_inst = maps.observe_inst[0, :]
+        # in-range padding lanes get exact zeros from the kernel (alpha
+        # masked by lane < tile count); only slots past the last padded
+        # range are uninitialized DMA memory and must be masked here
+        in_range = (jnp.arange(obs_inst.shape[0], dtype=jnp.int32)
+                    < binning.tile_ranges[-1])
         observe = jax.ops.segment_sum(
-            jnp.where(binning.valid, obs_inst, 0.0),
-            jnp.where(binning.valid, binning.gauss_id, N),
+            jnp.where(in_range, obs_inst, 0.0),
+            jnp.where(in_range, binning.gauss_id, N),
             num_segments=N + 1)[:N]
         color_map, final_T = maps.color, maps.final_T
         normal_map, dist_map = maps.normal, maps.distance

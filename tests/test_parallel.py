@@ -263,3 +263,51 @@ def test_graft_entry_single_chip():
     img.block_until_ready()
     assert img.shape == (48, 64, 3)
     assert bool(jax.numpy.isfinite(img).all())
+
+
+def test_distributed_launch_noop_and_single_process():
+    """maybe_initialize_distributed: no-op without config/env; real init
+    in a single-process subprocess (coordinator = localhost)."""
+    import socket
+    import subprocess
+    import sys
+    from gssr_tpu.configs.base import MachineConfig
+    from gssr_tpu.parallel.launch import maybe_initialize_distributed
+
+    m = MachineConfig(num_hosts=3, host_rank=2)
+    assert maybe_initialize_distributed(m) is False
+    assert (m.num_hosts, m.host_rank) == (3, 2)   # untouched
+
+    # ephemeral port: a fixed one can be squatted by an earlier crashed
+    # child whose distributed-service threads keep the process alive
+    with socket.socket() as s:
+        s.bind(("127.0.0.1", 0))
+        port = s.getsockname()[1]
+    code = (
+        "import os\n"
+        "os.environ['JAX_PLATFORMS'] = 'cpu'\n"
+        f"os.environ['GSSR_COORDINATOR'] = '127.0.0.1:{port}'\n"
+        "os.environ['GSSR_NUM_PROCESSES'] = '1'\n"
+        "os.environ['GSSR_PROCESS_ID'] = '0'\n"
+        # sitecustomize registers the axon TPU plugin at interpreter
+        # startup and pins the platform; the config update re-forces CPU
+        # (same dance as conftest.py) so distributed init cannot block
+        # on a TPU-pool claim
+        "import jax\n"
+        "jax.config.update('jax_platforms', 'cpu')\n"
+        "from gssr_tpu.configs.base import MachineConfig\n"
+        "from gssr_tpu.parallel.launch import (\n"
+        "    maybe_initialize_distributed, shutdown_distributed)\n"
+        "m = MachineConfig()\n"
+        "assert maybe_initialize_distributed(m) is True\n"
+        "assert (m.num_hosts, m.host_rank) == (1, 0)\n"
+        "assert maybe_initialize_distributed(m) is True  # idempotent\n"
+        "shutdown_distributed()\n"
+        "print('ok', flush=True)\n"
+        "os._exit(0)  # service threads must not block interpreter exit\n"
+    )
+    r = subprocess.run([sys.executable, "-c", code], capture_output=True,
+                       text=True, timeout=240,
+                       cwd=os.path.dirname(os.path.dirname(
+                           os.path.abspath(__file__))))
+    assert r.returncode == 0 and "ok" in r.stdout, r.stderr[-2000:]

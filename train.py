@@ -20,6 +20,8 @@ def main(config: Config):
         raise SystemExit(
             "error: --source-path is required (a COLMAP scene directory)")
     config.set_timestamp()
+    from gssr_tpu.parallel.launch import maybe_initialize_distributed
+    maybe_initialize_distributed(config.machine)
     random.seed(config.machine.seed)
     np.random.seed(config.machine.seed)
     config.save_config()

@@ -20,6 +20,11 @@ def main():
     assert config.source_path, "--source-path required"
     tiles = sorted(glob.glob(os.path.join(config.source_path, "tile_*")))
     assert tiles, f"no tile_* dirs under {config.source_path}"
+    # multi-host fleet: rank/world size come from jax.distributed when a
+    # coordinator is configured (one process per TPU host), else from the
+    # --machine.num-hosts/host-rank flags
+    from gssr_tpu.parallel.launch import maybe_initialize_distributed
+    maybe_initialize_distributed(config.machine)
     n_hosts = max(config.machine.num_hosts, 1)
     rank = config.machine.host_rank
     config.set_experiment_name()
