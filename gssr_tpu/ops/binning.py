@@ -5,9 +5,9 @@ pipeline (diff-gaussian-rasterization/cuda_rasterizer/rasterizer_impl.cu:
 70-138, 277-308). Instead of data-dependent buffer sizes, instances live in
 a fixed-capacity buffer: each virtual instance finds its source gaussian by
 binary search over the cumulative tiles-touched counts; invalid slots get a
-sentinel tile id that sorts to the end. Sorting uses a single lexicographic
-`lax.sort` over (tile_id, depth) — positive-float depth ordering equals the
-CUDA uint32 bit ordering.
+sentinel tile id that sorts to the end. Sorting uses a single `lax.sort`
+over a fused 32-bit (tile | quantized-depth) key — positive-float depth
+ordering equals the CUDA uint32 bit ordering.
 
 All integer/index math here is non-differentiable by construction; callers
 wrap inputs in stop_gradient.
@@ -169,15 +169,33 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
     ty = y0 + local // rw
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
 
-    d = jnp.where(valid,
-                  jax.lax.bitcast_convert_type(r[:, 2], jnp.float32),
-                  jnp.inf).astype(jnp.float32)
-    sorted_tile, _, sorted_gauss = jax.lax.sort(
-        (tile_id, d, g_c), num_keys=2)
+    # Fused 32-bit (tile | depth) sort key: ONE key operand + the gaussian
+    # payload instead of (tile, depth, gauss) with num_keys=2 — lax.sort
+    # cost scales with operand count (2-op ~21.6ms vs 3-op ~30ms at 8.4M
+    # rows on v5e). Positive-float depth bit patterns are order-preserving
+    # as unsigned ints (same fact the CUDA radix sort uses,
+    # rasterizer_impl.cu:70-111); we keep the top `32 - tile_bits` of the
+    # 31 magnitude bits. The unsigned->signed XOR of the top bit makes the
+    # packed key monotone under int32 comparison. Depth ties within
+    # 2^-(23-(tile_bits-8)) relative resolution break stably by gaussian
+    # index — the same class of tie-breaking the CUDA 64-bit radix key has
+    # at bit granularity, just coarser.
+    tile_bits = max(1, int(num_tiles + 1).bit_length())
+    depth_bits = 32 - tile_bits
+    inf_bits = jnp.int32(0x7F800000)
+    dq = jnp.where(valid, r[:, 2], inf_bits) >> (31 - depth_bits)
+    key = ((tile_id << depth_bits) | (dq & ((1 << depth_bits) - 1))) \
+        ^ jnp.int32(-(2 ** 31))
+    sorted_key, sorted_gauss = jax.lax.sort((key, g_c), num_keys=1)
 
+    bounds = (jnp.arange(num_tiles + 1, dtype=jnp.int32) << depth_bits) \
+        ^ jnp.int32(-(2 ** 31))
     tile_ranges = jnp.searchsorted(
-        sorted_tile, jnp.arange(num_tiles + 1, dtype=jnp.int32), side="left"
-    ).astype(jnp.int32)
+        sorted_key, bounds, side="left").astype(jnp.int32)
+    sorted_tile = jnp.minimum(
+        jax.lax.shift_right_logical(sorted_key ^ jnp.int32(-(2 ** 31)),
+                                    depth_bits),
+        num_tiles).astype(jnp.int32)
 
     if chunk == 1:
         valid1 = sorted_tile < num_tiles
