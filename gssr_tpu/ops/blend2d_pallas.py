@@ -40,16 +40,28 @@ from gssr_tpu.ops.blend_pallas import (
 )
 from gssr_tpu.ops.projection import TILE
 
-# attribute rows, layout [NUM_ATTRS2, I]
-A_XY = 0          # 0-1
-A_TU = 2          # 2-4
-A_TV = 5          # 5-7
-A_TW = 8          # 8-10
-A_OP = 11
-A_RGB = 12        # 12-14
-A_NRM = 15        # 15-17
-A_VALID = 18
-NUM_ATTRS2 = 32
+# attribute rows, layout [NUM_ATTRS2, I].
+#
+# The ray-splat intersection point s = cross(k, l) with k = px*Tw - Tu,
+# l = py*Tw - Tv expands by bilinearity (cross(Tw, Tw) = 0) to
+#     s = cross(Tu, Tv) - px*cross(Tw, Tv) - py*cross(Tu, Tw)
+#       =: CA - px*CB - py*CC,
+# so the three cross products are PER-GAUSSIAN invariants, computed once
+# in the XLA pack stage instead of per (pixel, instance) inside the
+# kernel — that removes the k/l assembly and the 9-op cross product from
+# the forward and the two adjoint cross products from the backward
+# (~30% of the per-pixel VPU work). Tw still rides along for the
+# per-splat depth s0*Tw0 + s1*Tw1 + Tw2. Gradients flow back to the T
+# matrix through the pack's jnp cross products (XLA autodiff).
+A_XY = 0          # 0-1  mean2d (low-pass center)
+A_CA = 2          # 2-4  cross(Tu, Tv)
+A_CB = 5          # 5-7  cross(Tw, Tv)
+A_CC = 8          # 8-10 cross(Tu, Tw)
+A_TW = 11         # 11-13
+A_OP = 14
+A_RGB = 15        # 15-17
+A_NRM = 18        # 18-20
+NUM_ATTRS2 = 24
 
 # output columns
 O_RGB = 0         # 0-2
@@ -69,27 +81,19 @@ FAR_N = 100.0
 M_COEF = FAR_N / (FAR_N - NEAR_N)
 
 
-def _surfel_alpha(A, px, py, nvalid=None):
+def _surfel_alpha(A, px, py, nvalid):
     """Per-(pixel, instance) surfel evaluation for one chunk.
 
     A: (NUM_ATTRS2, CHUNK). Returns (a, aux), a is (PIX, CHUNK).
-    nvalid: real-lane count for this chunk (tile_counts[t] - k*CHUNK);
-    when given the A_VALID row is not read (need_valid=False binning).
+    nvalid: real-lane count for this chunk (tile_counts[t] - k*CHUNK).
     """
     r = lambda i: A[i:i + 1, :]
     tw0, tw1, tw2 = r(A_TW), r(A_TW + 1), r(A_TW + 2)
-    tu0, tu1, tu2 = r(A_TU), r(A_TU + 1), r(A_TU + 2)
-    tv0, tv1, tv2 = r(A_TV), r(A_TV + 1), r(A_TV + 2)
 
-    k0 = px * tw0 - tu0                          # (PIX, CHUNK)
-    k1 = px * tw1 - tu1
-    k2 = px * tw2 - tu2
-    l0 = py * tw0 - tv0
-    l1 = py * tw1 - tv1
-    l2 = py * tw2 - tv2
-    p0 = k1 * l2 - k2 * l1
-    p1 = k2 * l0 - k0 * l2
-    p2 = k0 * l1 - k1 * l0
+    # s = CA - px*CB - py*CC (see the attr-layout comment above)
+    p0 = r(A_CA) - px * r(A_CB) - py * r(A_CC)           # (PIX, CHUNK)
+    p1 = r(A_CA + 1) - px * r(A_CB + 1) - py * r(A_CC + 1)
+    p2 = r(A_CA + 2) - px * r(A_CB + 2) - py * r(A_CC + 2)
     pz_ok = p2 != 0.0
     pz = jnp.where(pz_ok, p2, 1.0)
     # clamped: degenerate splats otherwise blow up the backward chain
@@ -105,17 +109,13 @@ def _surfel_alpha(A, px, py, nvalid=None):
     g_exp = jnp.exp(-0.5 * rho)
     raw = r(A_OP) * g_exp
     alpha = jnp.minimum(ALPHA_MAX, raw)
-    if nvalid is None:
-        lane_ok = r(A_VALID) > 0.5
-    else:
-        lane_ok = jax.lax.broadcasted_iota(
-            jnp.int32, (1, CHUNK), 1) < nvalid
+    lane_ok = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) < nvalid
     ok = (lane_ok & pz_ok & (depth >= NEAR_N)
           & (alpha >= ALPHA_MIN))
     a = jnp.where(ok, alpha, 0.0)
     safe_depth = jnp.maximum(depth, 1e-6)
     m = M_COEF * (1.0 - NEAR_N / safe_depth)
-    aux = dict(k=(k0, k1, k2), l=(l0, l1, l2), pz=pz, s0=s0, s1=s1,
+    aux = dict(pz=pz, s0=s0, s1=s1,
                dx=dx, dy=dy, is3d=is3d, depth=depth, safe_depth=safe_depth,
                m=m, g_exp=g_exp, raw=raw, ok=ok)
     return a, aux
@@ -351,33 +351,26 @@ def _bwd2_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, fwd_ref,
             gp0 = gs0 * inv_pz
             gp1 = gs1 * inv_pz
             gp2 = -(aux["s0"] * gs0 + aux["s1"] * gs1) * inv_pz
-            k0, k1, k2 = aux["k"]
-            l0, l1, l2 = aux["l"]
-            # gk = l x gp ; gl = gp x k
-            gk0 = l1 * gp2 - l2 * gp1
-            gk1 = l2 * gp0 - l0 * gp2
-            gk2 = l0 * gp1 - l1 * gp0
-            gl0 = gp1 * k2 - gp2 * k1
-            gl1 = gp2 * k0 - gp0 * k2
-            gl2 = gp0 * k1 - gp1 * k0
 
             s = lambda v: jnp.sum(v, axis=0, keepdims=True)
+            # p = CA - px*CB - py*CC, so dCA = gp, dCB = -px*gp,
+            # dCC = -py*gp; Tw only enters through the depth
+            gps = (gp0, gp1, gp2)
             extras = (gdepth * jnp.where(is3d, aux["s0"], 0.0),
                       gdepth * jnp.where(is3d, aux["s1"], 0.0),
                       gdepth)
-            gks = (gk0, gk1, gk2)
-            gls = (gl0, gl1, gl2)
-            # rows in A_* order: xy(2) tu(3) tv(3) tw(3) op rgb(3) nrm(3)
+            # rows in A_* order: xy(2) CA(3) CB(3) CC(3) tw(3) op rgb(3)
+            # nrm(3)
             rows = ([s(g2d * 4.0 * aux["dx"]), s(g2d * 4.0 * aux["dy"])]
-                    + [s(-gki) for gki in gks]
-                    + [s(-gli) for gli in gls]
-                    + [s(px * gks[i] + py * gls[i] + extras[i])
-                       for i in range(3)]
+                    + [s(gpi) for gpi in gps]
+                    + [s(-px * gpi) for gpi in gps]
+                    + [s(-py * gpi) for gpi in gps]
+                    + [s(extras[i]) for i in range(3)]
                     + [s(da_eff * aux["g_exp"])]
                     + [s(w * dC[:, ci:ci + 1]) for ci in range(3)]
                     + [s(w * dN[:, ci:ci + 1]) for ci in range(3)])
             dbuf[slot] = jnp.concatenate(
-                rows + [jnp.zeros((NUM_ATTRS2 - 18, CHUNK), jnp.float32)],
+                rows + [jnp.zeros((NUM_ATTRS2 - 21, CHUNK), jnp.float32)],
                 axis=0)
 
             state_ref[:, 5:6] = state_ref[:, 5:6] + jnp.sum(
@@ -512,15 +505,20 @@ def pack_instance_attrs_2d(mean2d, Tmat, normal, color, opacity,
                            binning: Binning):
     """Single packed [N, A] gather (see vanilla pack_instance_attrs)."""
     n = mean2d.shape[0]
-    zeros = jnp.zeros((n, NUM_ATTRS2 - 18), jnp.float32)
+    T9 = Tmat.reshape(n, 9)
+    Tu, Tv, Tw = T9[:, 0:3], T9[:, 3:6], T9[:, 6:9]
+    # per-gaussian cross-product invariants of the ray-splat intersection
+    # (see the attr-layout comment); their VJP routes the kernel's
+    # dCA/dCB/dCC back to the T matrix via XLA autodiff
+    CA = jnp.cross(Tu, Tv)
+    CB = jnp.cross(Tw, Tv)
+    CC = jnp.cross(Tu, Tw)
+    zeros = jnp.zeros((n, NUM_ATTRS2 - 21), jnp.float32)
     per_gauss = jnp.concatenate([
-        mean2d, Tmat.reshape(n, 9), opacity[:, None], color, normal,
+        mean2d, CA, CB, CC, Tw, opacity[:, None], color, normal,
         zeros], axis=1)
-    gathered = gather_rows(per_gauss, binning.gauss_id, 18)
-    attrs = gathered.T
-    if binning.valid is not None:
-        attrs = attrs.at[A_VALID].set(binning.valid.astype(jnp.float32))
-    return attrs
+    gathered = gather_rows(per_gauss, binning.gauss_id, 21)
+    return gathered.T
 
 
 class SurfelMaps:
