@@ -33,6 +33,7 @@ import numpy as np
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 WIDTH, HEIGHT = 400, 304        # 25 x 19 tiles
+INSTANCE_CAP = 1_572_864
 
 
 def make_structured_scene(rng):
@@ -127,6 +128,10 @@ def orbit_cameras(n, width, height, seed=0):
     return cams
 
 
+GT_SUB = 1
+N_CAMS = 54
+
+
 def build_scene_dir(root, seed=0):
     import jax
     import jax.numpy as jnp
@@ -138,9 +143,12 @@ def build_scene_dir(root, seed=0):
 
     rng = np.random.default_rng(seed)
     means, cols, scales = make_structured_scene(rng)
+    if GT_SUB > 1:   # CPU smoke: sparser surface, fatter splats
+        means, cols = means[::GT_SUB], cols[::GT_SUB]
+        scales = scales[::GT_SUB] * math.sqrt(GT_SUB)
     n = len(means)
     print(f"GT scene: {n} gaussians")
-    cams = orbit_cameras(54, WIDTH, HEIGHT, seed)
+    cams = orbit_cameras(N_CAMS, WIDTH, HEIGHT, seed)
 
     m = jnp.asarray(means, jnp.float32)
     s = jnp.asarray(np.stack([scales] * 3, -1), jnp.float32)
@@ -153,7 +161,7 @@ def build_scene_dir(root, seed=0):
     def render(cam_arrays):
         return rasterize(m, s, q, op, cam_arrays, WIDTH, HEIGHT, bg,
                          colors_precomp=cl, backend="pallas",
-                         instance_cap=1_572_864).image
+                         instance_cap=INSTANCE_CAP).image
 
     os.makedirs(os.path.join(root, "sparse/0"), exist_ok=True)
     os.makedirs(os.path.join(root, "images"), exist_ok=True)
@@ -186,6 +194,48 @@ def build_scene_dir(root, seed=0):
     write_model(ccams, images, pts3d, os.path.join(root, "sparse/0"))
 
 
+SURFACE_METHODS = {"2dgs", "octree-2dgs", "scaffold-2dgs",
+                   "pgsr", "scaffold-pgsr", "octree-pgsr"}
+
+
+def eval_mesh(method, out_root, gt_pts):
+    """Extract a TSDF mesh from the trained run and score it against the
+    GT surface samples (the structured scene's gaussian means ARE surface
+    samples of the plane/spheres/box) — makes the north-star 'matching
+    mesh F1' measurable end to end."""
+    import glob as _glob
+    cfgs = sorted(_glob.glob(os.path.join(out_root, method, "**/config.yml"),
+                             recursive=True), key=os.path.getmtime)
+    if not cfgs:
+        return {"error": "no config.yml found"}
+    cfg = cfgs[-1]
+    cmd = [sys.executable, "extract_mesh.py", "--load-config", cfg,
+           "--skip-images", "--voxel-size", "0.02", "--sdf-trunc", "0.08",
+           "--depth-trunc", "8.0", "--num-cluster", "0"]
+    print("  $", " ".join(cmd))
+    proc = subprocess.run(cmd, capture_output=True, text=True,
+                          cwd=os.path.dirname(os.path.dirname(
+                              os.path.abspath(__file__))))
+    if proc.returncode != 0:
+        print(proc.stdout[-2000:])
+        print(proc.stderr[-2000:])
+        return {"error": f"extract_mesh rc={proc.returncode}"}
+    meshes = sorted(_glob.glob(os.path.join(os.path.dirname(cfg),
+                                            "mesh_*/fused_mesh.ply")),
+                    key=os.path.getmtime)
+    if not meshes:
+        return {"error": "no fused_mesh.ply produced"}
+    from gssr_tpu.utils.mesh_eval import (point_cloud_metrics,
+                                          sample_points_on_mesh)
+    from gssr_tpu.utils.mesh_extract import read_mesh_ply
+    pv, pf = read_mesh_ply(meshes[-1])
+    pred = sample_points_on_mesh(pv, pf, 200_000, 0)
+    m = point_cloud_metrics(pred, gt_pts, taus=(0.03, 0.05))
+    m["mesh_verts"] = int(len(pv))
+    m["mesh_path"] = meshes[-1]
+    return m
+
+
 METHOD_ARGS = {
     "3dgs": ["--scene.gaussians.capacity", "262144"],
     "2dgs": ["--scene.gaussians.capacity", "262144"],
@@ -200,7 +250,8 @@ METHOD_ARGS = {
 
 
 def run_method(method, scene_dir, out_root, iters):
-    evals = list(range(500, iters + 1, 500))
+    estep = max(50, iters // 16 // 50 * 50)
+    evals = list(range(estep, iters + 1, estep))
     cmd = [sys.executable, "train.py", method,
            "--source-path", scene_dir,
            "--output-path", os.path.join(out_root, method),
@@ -209,7 +260,7 @@ def run_method(method, scene_dir, out_root, iters):
            "--trainer.test-iterations", ",".join(map(str, evals)),
            "--trainer.save-iterations", str(iters),
            "--trainer.log-interval", "100",
-           "--scene.instance-cap", "1572864",
+           "--scene.instance-cap", str(INSTANCE_CAP),
            "--scene.gaussians.densify-until-iter", str(iters // 2),
            "--scene.gaussians.position-lr-max-steps", str(iters),
            ] + METHOD_ARGS.get(method, [])
@@ -244,7 +295,19 @@ def main():
     ap.add_argument("--tag", default="r2")
     ap.add_argument("--scene-dir", default=None,
                     help="reuse an already-built scene dir")
+    ap.add_argument("--size", default=None, metavar="WxH",
+                    help="override render size (e.g. 96x64 for CPU smoke)")
+    ap.add_argument("--instance-cap", type=int, default=1_572_864)
+    ap.add_argument("--gt-sub", type=int, default=1,
+                    help="subsample GT scene by this factor (CPU smoke)")
+    ap.add_argument("--n-cams", type=int, default=54)
     args = ap.parse_args()
+    global WIDTH, HEIGHT, INSTANCE_CAP, GT_SUB, N_CAMS
+    if args.size:
+        WIDTH, HEIGHT = (int(v) for v in args.size.split("x"))
+    INSTANCE_CAP = args.instance_cap
+    GT_SUB = args.gt_sub
+    N_CAMS = args.n_cams
 
     scene_dir = args.scene_dir or os.path.join(args.out_root, "scene")
     if not os.path.exists(os.path.join(scene_dir, "sparse/0/points3D.bin")):
@@ -252,9 +315,15 @@ def main():
 
     results = {"width": WIDTH, "height": HEIGHT, "scene": "structured-v1",
                "runs": []}
+    gt_pts = make_structured_scene(np.random.default_rng(0))[0]
     for method in args.methods.split(","):
         print(f"=== {method} ({args.iters} iters) ===")
         r = run_method(method, scene_dir, args.out_root, args.iters)
+        if r["returncode"] == 0 and method in SURFACE_METHODS:
+            r["mesh"] = eval_mesh(method, args.out_root, gt_pts)
+            if "chamfer" in r["mesh"]:
+                print(f"  mesh: chamfer {r['mesh']['chamfer']:.4f} "
+                      f"f1@0.05 {r['mesh']['f1@0.05']:.3f}")
         results["runs"].append(r)
         if r["curve"]:
             last = r["curve"][-1]
