@@ -1,74 +1,119 @@
 #!/usr/bin/env python
-"""BASELINE config #5 harness: data-parallel train-step scaling over a
-device mesh (camera-batch DP, grads psum'd over ICI).
+"""BASELINE config #5 harness: multi-chip train-step scaling for ANY
+method family over a device mesh, through the real scene stack
+(`scene.setup_parallel`, the same path `train.py --machine.parallel`
+uses).
+
+Modes:
+  dp    one camera per device, grads pmean'd over ICI
+  band  one camera, tile rows sharded across devices (ops/band.py)
+  none  single-device reference point
 
 On a real multi-chip slice this measures aggregate Mpix/s and scaling
-efficiency vs the single-chip bench. Off-slice it can be exercised on a
-virtual CPU mesh (JAX_PLATFORMS=cpu
-XLA_FLAGS=--xla_force_host_platform_device_count=8 GSSR_TPU_INTERPRET=1)
-to validate the sharded step; CPU numbers are not meaningful throughput.
+efficiency vs the single-chip bench. Off-slice it runs on a virtual CPU
+mesh (JAX_PLATFORMS=cpu XLA_FLAGS=--xla_force_host_platform_device_count=8
+GSSR_TPU_INTERPRET=1) to validate the sharded step; CPU numbers are not
+meaningful throughput.
 
-Usage: python benchmarks/bench_scaling.py [--iters 10]
+Usage:
+  python benchmarks/bench_scaling.py --method octree-2dgs --mode band
+  python benchmarks/bench_scaling.py --method 3dgs --mode dp --iters 20
 """
 from __future__ import annotations
 
 import argparse
+import dataclasses
 import json
-import math
-import sys, os, time
+import os
+import sys
+import tempfile
+import time
+
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 
-from benchmarks.common import BASELINE_MPIX_S, make_camera
+from benchmarks.common import BASELINE_MPIX_S
 
 
 def main():
     ap = argparse.ArgumentParser()
+    ap.add_argument("--method", default="3dgs")
+    ap.add_argument("--mode", default="dp", choices=["dp", "band", "none"])
     ap.add_argument("--iters", type=int, default=10)
-    ap.add_argument("--n-gauss", type=int, default=200_000)
-    ap.add_argument("--cap", type=int, default=3 << 20)
+    ap.add_argument("--width", type=int,
+                    default=int(os.environ.get("GSSR_BENCH_W", 1600)))
+    ap.add_argument("--height", type=int,
+                    default=int(os.environ.get("GSSR_BENCH_H", 1024)))
+    ap.add_argument("--cap", type=int, default=3 << 20,
+                    help="instance cap (per device in band mode)")
+    ap.add_argument("--capacity", type=int, default=200_000,
+                    help="gaussian/anchor capacity")
+    ap.add_argument("--n-pts", type=int, default=50_000)
+    ap.add_argument("--scene-dir", default=None)
     args = ap.parse_args()
 
     import jax
-    import jax.numpy as jnp
-    from gssr_tpu.models.vanilla import VanillaGaussianConfig, VanillaGaussians
-    from gssr_tpu.parallel.train_step import build_dp_train_step
-    from gssr_tpu.cameras import CameraArrays
-
-    from benchmarks.common import W, H
     n_dev = len(jax.devices())
-    rng = np.random.default_rng(0)
-    pts = rng.uniform(-3, 3, (args.n_gauss, 3)) * np.array([1.5, 1.0, 1.0])
-    cols = rng.uniform(0, 1, (args.n_gauss, 3))
-    g = VanillaGaussians(VanillaGaussianConfig(capacity=args.n_gauss), 2.0)
-    state = g.create_from_points(pts, cols)
 
-    cams = [make_camera(i, yaw=0.15 * i) for i in range(n_dev)]
-    cam_batch = jax.tree.map(
-        lambda *xs: jnp.stack(xs), *[c.arrays() for c in cams])
-    gt_batch = jnp.asarray(rng.uniform(0, 1, (n_dev, H, W, 3)), jnp.float32)
+    scene_dir = args.scene_dir
+    if not scene_dir:
+        sys.path.insert(0, os.path.join(os.path.dirname(os.path.dirname(
+            os.path.abspath(__file__))), "tests"))
+        from synthetic import write_synthetic_colmap_scene
+        scene_dir = tempfile.mkdtemp(prefix="bench_scaling_")
+        # GT image content is irrelevant for throughput; keep the GT
+        # render cheap by building the scene small-res, then lying about
+        # camera size below via the config's resolution handling
+        write_synthetic_colmap_scene(
+            scene_dir, n_cams=max(8, n_dev), n_pts=args.n_pts,
+            width=args.width, height=args.height, gt_mode="noise")
 
-    step_fn, mesh = build_dp_train_step(
-        g, W, H, args.cap, backend=os.environ.get("GSSR_BENCH_BACKEND",
-                                                  "pallas"))
-    state, metrics = step_fn(state, cam_batch, gt_batch, 1)
+    from gssr_tpu.configs.methods import build_scene, get_method_config
+    config = get_method_config(args.method)
+    config.source_path = scene_dir
+    config.scene.instance_cap = args.cap
+    config.scene.backend = os.environ.get("GSSR_BENCH_BACKEND", "pallas")
+    g = config.scene.gaussians
+    overrides = dict(capacity=args.capacity)
+    if hasattr(g, "n_offsets"):
+        overrides.update(appearance_dim=0)
+    config.scene.gaussians = dataclasses.replace(g, **overrides)
+
+    scene = build_scene(config)
+    if args.mode != "none":
+        scene.setup_parallel(args.mode, devices=jax.devices())
+    state = scene.init_state()
+
+    cams = scene.dataloader.train_cameras
+    if args.mode == "dp":
+        cam_arg = [cams[i % len(cams)] for i in range(n_dev)]
+    else:
+        cam_arg = cams[0]
+
+    # warmup / compile
+    state, metrics = scene.train_step(state, cam_arg, 1)
+    state, metrics = scene.train_step(state, cam_arg, 2)
     jax.block_until_ready(metrics)
     _ = float(metrics["loss"])
+
     t0 = time.perf_counter()
     for i in range(args.iters):
-        state, metrics = step_fn(state, cam_batch, gt_batch, i + 2)
+        state, metrics = scene.train_step(state, cam_arg, i + 3)
     _ = float(metrics["loss"])
     dt = (time.perf_counter() - t0) / args.iters
 
-    agg = n_dev * (W * H / 1e6) / dt
+    w, h = scene.width, scene.height
+    frames = n_dev if args.mode == "dp" else 1
+    agg = frames * (w * h / 1e6) / dt
     print(json.dumps({
-        "metric": "dp_train_step_aggregate_mpix_per_s",
+        "metric": f"{args.mode}_train_step_aggregate_mpix_per_s",
         "value": round(agg, 3),
-        "unit": f"Mpix/s aggregate ({n_dev} dev)",
+        "unit": f"Mpix/s aggregate ({n_dev} dev, {args.method})",
         "vs_baseline": round(agg / BASELINE_MPIX_S, 3),
-        "detail": {"n_devices": n_dev, "W": W, "H": H,
-                   "per_device_mpix_s": round(agg / n_dev, 3),
+        "detail": {"method": args.method, "mode": args.mode,
+                   "n_devices": n_dev, "W": w, "H": h,
+                   "frames_per_step": frames,
                    "step_ms": round(dt * 1e3, 2),
                    "loss": float(metrics["loss"]),
                    "platform": jax.devices()[0].platform},

@@ -67,12 +67,22 @@ def render_gt_images(cams, pts, cols, backend="reference", cap=4096):
 
 
 def write_synthetic_colmap_scene(root, n_cams=6, n_pts=128, width=64,
-                                 height=64, seed=0):
-    """Materialize a COLMAP-format scene on disk (for dataloader tests)."""
+                                 height=64, seed=0, gt_mode="render"):
+    """Materialize a COLMAP-format scene on disk (for dataloader tests).
+
+    gt_mode "render": GT images are a rasterized gaussian scene (fitting
+    tests). "noise": random pixels — image content doesn't matter (e.g.
+    throughput benches at large resolutions, where the reference-backend
+    GT render would dominate setup time)."""
     rng = np.random.default_rng(seed)
     cams = ring_cameras(n_cams, width=width, height=height)
     pts, cols = random_point_cloud(rng, n_pts)
-    cams = render_gt_images(cams, pts, cols)
+    if gt_mode == "noise":
+        for c in cams:
+            c.image = rng.uniform(0, 1, (height, width, 3)).astype(
+                np.float32)
+    else:
+        cams = render_gt_images(cams, pts, cols)
 
     os.makedirs(os.path.join(root, "sparse/0"), exist_ok=True)
     os.makedirs(os.path.join(root, "images"), exist_ok=True)
