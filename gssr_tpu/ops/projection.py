@@ -189,10 +189,16 @@ def tile_rect(mean2d, radius_x, tiles_x, tiles_y, radius_y=None):
     x, y = mean2d[..., 0], mean2d[..., 1]
     rx = radius_x.astype(jnp.float32)
     ry = radius_y.astype(jnp.float32)
-    x0 = jnp.clip(((x - rx) / TILE), 0, tiles_x).astype(jnp.int32)
-    y0 = jnp.clip(((y - ry) / TILE), 0, tiles_y).astype(jnp.int32)
-    x1 = jnp.clip(((x + rx + TILE - 1) / TILE), 0, tiles_x).astype(jnp.int32)
-    y1 = jnp.clip(((y + ry + TILE - 1) / TILE), 0, tiles_y).astype(jnp.int32)
+    x0 = jnp.clip(jnp.floor((x - rx) / TILE), 0, tiles_x).astype(jnp.int32)
+    y0 = jnp.clip(jnp.floor((y - ry) / TILE), 0, tiles_y).astype(jnp.int32)
+    # exclusive end = floor((x+r)/T) + 1: the boundary pixel at exactly
+    # x+r can still pass the alpha >= 1/255 gate (the level set is
+    # inclusive), and the CUDA-style (v + T - 1)/T int-cast idiom drops
+    # that tile whenever v is fractional with frac(v) < 1
+    x1 = jnp.clip(jnp.floor((x + rx) / TILE) + 1, 0, tiles_x).astype(
+        jnp.int32)
+    y1 = jnp.clip(jnp.floor((y + ry) / TILE) + 1, 0, tiles_y).astype(
+        jnp.int32)
     return jnp.stack([x0, y0, x1, y1], axis=-1)
 
 

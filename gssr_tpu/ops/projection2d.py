@@ -68,36 +68,64 @@ def preprocess_2d(means3d, scales2, rotations, camera, width: int, height: int,
 
     # AABB from T (compute_aabb, forward.cu:119-145)
     Tu, Tv, Tw = Tmat[..., 0, :], Tmat[..., 1, :], Tmat[..., 2, :]
-    tvec = jnp.array([CUTOFF * CUTOFF, CUTOFF * CUTOFF, -1.0], jnp.float32)
-    dval = jnp.sum(tvec * Tw * Tw, axis=-1)
-    visible = visible & (dval != 0.0)
-    # sanitize the divisor for culled gaussians: an inf `f` would poison
-    # reverse-mode AD even under zero cotangents (where-grad trap)
-    d_safe = jnp.where(visible, dval, 1.0)
-    f = tvec / d_safe[..., None]
-    cx = jnp.sum(f * Tu * Tw, axis=-1)
-    cy = jnp.sum(f * Tv * Tw, axis=-1)
-    hx = jnp.sqrt(jnp.maximum(1e-4, cx * cx - jnp.sum(f * Tu * Tu, axis=-1)))
-    hy = jnp.sqrt(jnp.maximum(1e-4, cy * cy - jnp.sum(f * Tv * Tv, axis=-1)))
+
+    def conic_aabb(level, visible):
+        """Dual-conic AABB of the {rho3d <= level^2} image: center
+        (cx, cy) and half-extents (hx, hy) in pixels. `level` is [N] (or
+        scalar) sigmas."""
+        lvl2 = jnp.broadcast_to(jnp.asarray(level, jnp.float32) ** 2,
+                                Tw.shape[:-1])
+        tvec = jnp.stack([lvl2, lvl2, -jnp.ones_like(lvl2)], axis=-1)
+        dval = jnp.sum(tvec * Tw * Tw, axis=-1)
+        visible = visible & (dval != 0.0)
+        # sanitize the divisor for culled gaussians: an inf `f` would
+        # poison reverse-mode AD even under zero cotangents (where-grad
+        # trap)
+        d_safe = jnp.where(visible, dval, 1.0)
+        f = tvec / d_safe[..., None]
+        cx = jnp.sum(f * Tu * Tw, axis=-1)
+        cy = jnp.sum(f * Tv * Tw, axis=-1)
+        hx = jnp.sqrt(jnp.maximum(1e-4,
+                                  cx * cx - jnp.sum(f * Tu * Tu, axis=-1)))
+        hy = jnp.sqrt(jnp.maximum(1e-4,
+                                  cy * cy - jnp.sum(f * Tv * Tv, axis=-1)))
+        return cx, cy, hx, hy, visible
+
+    # low-pass / rho2d center + densify-stats radius: the CUTOFF-level
+    # box center, as in the CUDA reference
+    cx, cy, hx, hy, visible = conic_aabb(CUTOFF, visible)
     mean2d = jnp.where(visible[..., None],
                        jnp.stack([cx, cy], axis=-1), 0.0)
     if opacity is None:
-        s_fac = CUTOFF
+        rx3, ry3 = hx, hy
+        s_fac = jnp.full(hx.shape, CUTOFF, jnp.float32)
+        cxL, cyL = cx, cy
     else:
-        # alpha >= 1/255 level set in sigmas (<= CUTOFF); exact because the
-        # blend kernel's alpha cut skips everything outside it. The AABB and
-        # the low-pass filter radius both scale linearly with it.
+        # alpha >= 1/255 level set in sigmas (<= CUTOFF): everything
+        # outside it is skipped by the blend kernel's alpha cut, so the
+        # rect may shrink to that level. The splat->pixel map is
+        # PROJECTIVE, so the level ellipse is NOT a concentric scaling of
+        # the CUTOFF one (that approximation under-covered edge-on splats
+        # and culled true contributors near tile borders) — recompute the
+        # dual-conic AABB exactly at the level.
         from gssr_tpu.ops.projection import opacity_sigma_factor
         s_fac, visible = opacity_sigma_factor(opacity, visible)
-    # per-axis extents (the AABB is already axis-aligned; squaring it via
-    # max(hx, hy) as the CUDA reference does only wastes instances)
-    rx = jnp.ceil(jnp.maximum(hx * (s_fac / CUTOFF), s_fac * FILTER_SIZE))
-    ry = jnp.ceil(jnp.maximum(hy * (s_fac / CUTOFF), s_fac * FILTER_SIZE))
+        cxL, cyL, rx3, ry3, visible = conic_aabb(s_fac, visible)
+    # union box of the rho3d level ellipse and the low-pass disk
+    # (rho2d = FILTER_INV_SQUARE * dist^2 about mean2d)
+    rlp = s_fac * FILTER_SIZE
+    bx0 = jnp.minimum(cxL - rx3, cx - rlp)
+    bx1 = jnp.maximum(cxL + rx3, cx + rlp)
+    by0 = jnp.minimum(cyL - ry3, cy - rlp)
+    by1 = jnp.maximum(cyL + ry3, cy + rlp)
+    bcen = jnp.stack([0.5 * (bx0 + bx1), 0.5 * (by0 + by1)], axis=-1)
+    rx = jnp.ceil(0.5 * (bx1 - bx0))
+    ry = jnp.ceil(0.5 * (by1 - by0))
     radius_f = jnp.maximum(rx, ry)
 
     radius = jnp.where(visible, radius_f, 0.0).astype(jnp.int32)
     zero = jnp.zeros_like(rx)
-    rect = tile_rect(mean2d, jnp.where(visible, rx, zero), tiles_x, tiles_y,
+    rect = tile_rect(bcen, jnp.where(visible, rx, zero), tiles_x, tiles_y,
                      jnp.where(visible, ry, zero))
     tiles = (rect[..., 2] - rect[..., 0]) * (rect[..., 3] - rect[..., 1])
     tiles = jnp.where(visible, tiles, 0).astype(jnp.int32)
