@@ -44,6 +44,10 @@ def main():
     ap.add_argument("--num-cluster", type=int, default=1)
     ap.add_argument("--alpha-thres", type=float, default=0.5)
     ap.add_argument("--skip-images", action="store_true")
+    ap.add_argument("--render-video", action="store_true",
+                    help="render an elliptical fly-through mp4 "
+                         "(reference extract_mesh.py:107-113)")
+    ap.add_argument("--video-frames", type=int, default=120)
     ap.add_argument("--eval-gt", default=None, metavar="GT_MESH_PLY",
                     help="ground-truth mesh to evaluate F1/chamfer against")
     ap.add_argument("--eval-tau", type=float, nargs="+", default=[0.05],
@@ -62,6 +66,19 @@ def main():
     extractor.reconstruction(scene.dataloader.train_cameras)
     if not args.skip_images:
         extractor.export_images(str(out_dir))
+
+    if args.render_video:
+        from gssr_tpu.utils.render_paths import (create_video,
+                                                 generate_ellipse_path)
+        traj = generate_ellipse_path(scene.dataloader.train_cameras,
+                                     n_frames=args.video_frames)
+        print(f"rendering {len(traj)} fly-through frames ...")
+        frames = [np.asarray(
+            scene.eval_render(scene.state, c, step=10 ** 9).image)
+            for c in traj]
+        vpath = out_dir / "render_traj.mp4"
+        create_video(frames, str(vpath))
+        print(f"saved {vpath} ({len(frames)} frames)")
 
     if args.unbounded:
         verts, faces = extractor.extract_mesh_unbounded(
