@@ -48,6 +48,11 @@ def main():
                     help="render an elliptical fly-through mp4 "
                          "(reference extract_mesh.py:107-113)")
     ap.add_argument("--video-frames", type=int, default=120)
+    ap.add_argument("--skip-mesh", action="store_true",
+                    help="only export images/video (reference skip_mesh)")
+    ap.add_argument("--export-test", action="store_true",
+                    help="also render+export the eval split "
+                         "(reference extract_mesh.py:101-106)")
     ap.add_argument("--eval-gt", default=None, metavar="GT_MESH_PLY",
                     help="ground-truth mesh to evaluate F1/chamfer against")
     ap.add_argument("--eval-tau", type=float, nargs="+", default=[0.05],
@@ -67,6 +72,15 @@ def main():
     if not args.skip_images:
         extractor.export_images(str(out_dir))
 
+    if args.export_test and scene.dataloader.test_cameras:
+        test_ex = GaussianExtractor(scene, scene.state)
+        print(f"rendering {len(scene.dataloader.test_cameras)} "
+              "test cameras ...")
+        test_ex.reconstruction(scene.dataloader.test_cameras)
+        test_dir = out_dir / "test"
+        test_dir.mkdir(exist_ok=True)
+        test_ex.export_images(str(test_dir))
+
     if args.render_video:
         from gssr_tpu.utils.render_paths import (create_video,
                                                  generate_ellipse_path)
@@ -80,6 +94,8 @@ def main():
         create_video(frames, str(vpath))
         print(f"saved {vpath} ({len(frames)} frames)")
 
+    if args.skip_mesh:
+        return
     if args.unbounded:
         verts, faces = extractor.extract_mesh_unbounded(
             args.resolution, alpha_thres=args.alpha_thres)
