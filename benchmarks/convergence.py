@@ -278,13 +278,29 @@ def run_method(method, scene_dir, out_root, iters):
             curve.append({"step": int(mo.group(1)),
                           "l1": float(mo.group(2)),
                           "psnr": float(mo.group(3))})
-    grow = [ln for ln in proc.stdout.splitlines() if "n_active" in ln]
     if proc.returncode != 0:
         print(proc.stdout[-3000:])
         print(proc.stderr[-3000:])
     return {"method": method, "iters": iters, "wall_s": round(wall, 1),
-            "curve": curve, "growth_lines": grow[-6:],
+            "curve": curve,
+            "final_gaussians": _saved_gaussian_count(out_root, method),
             "returncode": proc.returncode}
+
+
+def _saved_gaussian_count(out_root, method):
+    """Vertex count of the newest saved PLY — densification evidence."""
+    import glob as _glob
+    plys = sorted(_glob.glob(os.path.join(
+        out_root, method, "**/point_cloud/iteration_*/point_cloud.ply"),
+        recursive=True), key=os.path.getmtime)
+    if not plys:
+        return None
+    with open(plys[-1], "rb") as f:
+        for _ in range(32):
+            line = f.readline().decode("ascii", "ignore")
+            if line.startswith("element vertex"):
+                return int(line.split()[-1])
+    return None
 
 
 def main():
