@@ -19,7 +19,11 @@ def transform_poses_pca(poses: np.ndarray):
     t = poses[:, :3, 3]
     t_mean = t.mean(axis=0)
     t_c = t - t_mean
-    eigval, eigvec = np.linalg.eig(t_c.T @ t_c)
+    # eigh, not eig: the covariance is symmetric and eigh guarantees an
+    # ORTHONORMAL eigenbasis even for (near-)degenerate spectra — e.g. a
+    # circular capture ring has two equal eigenvalues, where eig may return
+    # a skewed basis that shears every path camera
+    eigval, eigvec = np.linalg.eigh(t_c.T @ t_c)
     inds = np.argsort(eigval)[::-1]
     rot = eigvec[:, inds].T
     if np.linalg.det(rot) < 0:
@@ -27,10 +31,11 @@ def transform_poses_pca(poses: np.ndarray):
     transform = np.concatenate([rot, rot @ -t_mean[:, None]], -1)
     poses_rec = transform @ np.concatenate(
         [poses[:, :3, :], np.tile(np.eye(4)[3], (len(poses), 1, 1))], 1)
-    scale = 1.0 / np.max(np.abs(poses_rec[:, :3, 3]))
-    poses_rec[:, :3, 3] *= scale
-    transform = np.diag([scale] * 3 + [1]) @ np.concatenate(
-        [transform, np.eye(4)[3:]], 0)
+    # NO scale normalization: the reference disables it
+    # (render_utils.py:115-117 commented out) — a scaled transform would
+    # make the inverse non-rigid, putting a uniform scale into the path
+    # cameras' rotations (and thus their rendered depths)
+    transform = np.concatenate([transform, np.eye(4)[3:]], 0)
     return poses_rec, transform
 
 
