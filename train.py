@@ -16,6 +16,15 @@ from gssr_tpu.engine.trainer import Trainer
 
 
 def main(config: Config):
+    if config.trainer.load_config:
+        # re-run a saved config wholesale (reference train.py:88-90),
+        # under a fresh timestamped run dir rather than the original's
+        from gssr_tpu.configs.base import load_config_yaml
+        print(f"loading pre-set config from {config.trainer.load_config}")
+        config = load_config_yaml(config.trainer.load_config)
+        # fresh run dir: the loaded config carries the ORIGINAL timestamp
+        # (the reference re-uses and silently overwrites that run dir)
+        config.timestamp = "{timestamp}"
     if not config.source_path:
         raise SystemExit(
             "error: --source-path is required (a COLMAP scene directory)")
