@@ -24,8 +24,6 @@ class MachineConfig:
     seed: int = 42
     num_hosts: int = 1
     host_rank: int = 0
-    # mesh axes for within-host chip parallelism; 0 = use all local devices
-    data_parallel: int = 0
     # multi-chip training mode: "none" | "dp" (one camera per device,
     # grads all-reduced over ICI) | "band" (one camera, tile rows sharded
     # across devices). SURVEY §2.3; the reference refuses world_size>1.
