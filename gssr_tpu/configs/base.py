@@ -74,6 +74,10 @@ class DataLoaderConfig:
     images: str = "images"
     resolution: int = -1
     white_background: bool = False
+    # load GT frames on demand through a bounded LRU instead of resident
+    # float32 arrays — for UAV-scale scenes (dataio.dataset.LazyImage)
+    lazy_images: bool = False
+    image_cache_frames: int = 256
 
 
 @dataclass

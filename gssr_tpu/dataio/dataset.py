@@ -16,6 +16,7 @@ from typing import Dict, List, NamedTuple, Optional
 import numpy as np
 
 from gssr_tpu.cameras import Camera
+from gssr_tpu.configs.base import DataLoaderConfig
 from gssr_tpu.dataio import colmap
 from gssr_tpu.dataio.ply import read_point_cloud_ply, write_point_cloud_ply
 from gssr_tpu.utils.graphics import focal_to_fov
@@ -67,9 +68,52 @@ def load_image(path: str, resolution) -> np.ndarray:
     return arr
 
 
+class LazyImage:
+    """Load-on-demand GT frame with a process-wide bounded LRU.
+
+    UAV-scale scenes (thousands of ~1.6k frames) don't fit in host RAM as
+    float32; the reference simply loads every frame to the GPU upfront
+    and lets VRAM bound the scene size. Consumers only ever call
+    np.asarray/jnp.asarray on camera.image, so the __array__ protocol is
+    the whole interface."""
+
+    __slots__ = ("path", "resolution")
+    _cache: "OrderedDict[tuple, np.ndarray]" = None
+    cache_frames = 256
+
+    def __init__(self, path: str, resolution):
+        self.path = path
+        self.resolution = tuple(resolution) if resolution else None
+
+    def _load(self) -> np.ndarray:
+        from collections import OrderedDict
+        if LazyImage._cache is None:
+            LazyImage._cache = OrderedDict()
+        c = LazyImage._cache
+        key = (self.path, self.resolution)
+        arr = c.get(key)
+        if arr is None:
+            arr = load_image(self.path, self.resolution)
+            c[key] = arr
+            while len(c) > max(LazyImage.cache_frames, 1):
+                c.popitem(last=False)
+        else:
+            c.move_to_end(key)
+        return arr
+
+    def __array__(self, dtype=None, copy=None):
+        arr = self._load()
+        return arr.astype(dtype) if dtype is not None else arr
+
+    @property
+    def shape(self):
+        return self._load().shape
+
+
 def read_colmap_scene(source_dir: str, images_dir: str = "images",
                       eval_split: bool = False, llffhold: int = 8,
                       resolution: int = -1, load_images: bool = True,
+                      lazy_images: bool = False,
                       sparse_subdir: str = "sparse/0") -> SceneData:
     sparse = os.path.join(source_dir, sparse_subdir)
     cams, imgs, pts3d = colmap.read_model(sparse)
@@ -126,19 +170,14 @@ def read_colmap_scene(source_dir: str, images_dir: str = "images",
 
     if load_images:
         for c in train + test:
-            c.image = load_image(c.image_path, (c.width, c.height))
+            if lazy_images:
+                c.image = LazyImage(c.image_path, (c.width, c.height))
+            else:
+                c.image = load_image(c.image_path, (c.width, c.height))
 
     return SceneData(train, test, pcd, norm["radius"], norm["translate"])
 
 
-@dataclass
-class DataLoaderConfig:
-    shuffle: bool = True
-    llffhold: int = 8
-    resolution_scales: tuple = (1.0,)
-    images: str = "images"
-    resolution: int = -1
-    white_background: bool = False
 
 
 class ColmapDataLoader:
@@ -148,9 +187,11 @@ class ColmapDataLoader:
                  eval: bool = False, seed: int = 0, load_images: bool = True):
         self.config = config
         self.source_dir = source_dir
+        LazyImage.cache_frames = config.image_cache_frames
         scene = read_colmap_scene(
             source_dir, config.images, eval, config.llffhold,
-            config.resolution, load_images=load_images)
+            config.resolution, load_images=load_images,
+            lazy_images=config.lazy_images)
         self.rng = random.Random(seed)
         if config.shuffle:
             self.rng.shuffle(scene.train_cameras)

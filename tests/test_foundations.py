@@ -141,3 +141,30 @@ def test_densify_grad_ndc_convention():
     assert np.allclose(np.asarray(out.grad_accum),
                        [1.0, 0.0, 1.0, 1.0], atol=1e-5)
     assert np.allclose(np.asarray(out.denom), [1, 0, 1, 1])
+
+
+def test_lazy_image_protocol(tmp_path):
+    """LazyImage: __array__ consumers see the pixels; the LRU stays
+    bounded (dataset.py LazyImage, for UAV-scale scenes)."""
+    import numpy as np
+    from PIL import Image
+    from gssr_tpu.dataio.dataset import LazyImage
+
+    paths = []
+    for i in range(5):
+        p = tmp_path / f"im{i}.png"
+        Image.fromarray(np.full((8, 6, 3), 40 * i, np.uint8)).save(p)
+        paths.append(str(p))
+
+    LazyImage._cache = None
+    LazyImage.cache_frames = 2
+    lazies = [LazyImage(p, (6, 8)) for p in paths]
+    for i, l in enumerate(lazies):
+        arr = np.asarray(l)
+        assert arr.shape == (8, 6, 3)
+        assert abs(arr[0, 0, 0] - 40 * i / 255.0) < 1e-6
+        assert len(LazyImage._cache) <= 2
+    import jax.numpy as jnp
+    j = jnp.asarray(lazies[3], jnp.float32)
+    assert j.shape == (8, 6, 3)
+    assert l.shape == (8, 6, 3)
