@@ -30,18 +30,33 @@ sys.path.insert(0, __file__.rsplit("/", 2)[0])
 
 
 def timeit(fn, *args, iters=10, warmup=2):
-    import jax
+    """Pipelined timing: fn must return a SCALAR (device). We enqueue
+    `iters` dispatches back-to-back and sync once with a 4-byte fetch, so
+    axon-tunnel dispatch latency and array transfer cost are amortized out
+    (fetching any real array through the tunnel runs at <1 MB/s and
+    swamps the measurement)."""
+    out = None
     for _ in range(warmup):
         out = fn(*args)
-    jax.block_until_ready(out)
+    _ = float(out)
     t0 = time.perf_counter()
     for _ in range(iters):
         out = fn(*args)
-    jax.block_until_ready(out)
-    # force a host round-trip (block_until_ready alone is unreliable
-    # through the axon tunnel)
-    _ = np.asarray(jax.tree.leaves(out)[0]).ravel()[:1]
+    _ = float(out)
     return (time.perf_counter() - t0) / iters * 1e3  # ms
+
+
+def _scalarize(fn):
+    """Wrap fn so it returns one f32 scalar derived from all outputs."""
+    import jax
+    import jax.numpy as jnp
+
+    def wrapped(*args):
+        out = fn(*args)
+        return sum(jnp.sum(x.astype(jnp.float32) if x.dtype != jnp.float32
+                           else x) * 1e-9
+                   for x in jax.tree.leaves(out))
+    return wrapped
 
 
 def main():
@@ -84,76 +99,75 @@ def main():
     res = {}
 
     # ---- stage 1: preprocess + SH -------------------------------------
-    @jax.jit
     def stage_pre(means, scales, rots, opac, sh):
         p = preprocess(means, scales, rots, camarr, W, H, opacity=opac)
         c = sh_ops.sh_to_color(3, sh, means, camarr.campos)
         return p.mean2d, p.conic, p.depth, p.rect, p.tiles_touched, \
             p.tile_mask, c
-    res["preprocess+sh"] = timeit(stage_pre, means, scales, rots, opac, sh,
+    res["preprocess+sh"] = timeit(jax.jit(_scalarize(stage_pre)),
+                                  means, scales, rots, opac, sh,
                                   iters=args.iters)
     m2d, conic, depth, rect, tiles, tmask, color = jax.block_until_ready(
-        stage_pre(means, scales, rots, opac, sh))
+        jax.jit(stage_pre)(means, scales, rots, opac, sh))
 
     # ---- stage 2: binning ----------------------------------------------
-    @jax.jit
     def stage_bin(rect, depth, tiles, tmask):
-        return bin_gaussians(rect, depth, tiles, tiles_x, tiles_y, CAP,
-                             chunk=CHUNK, tile_mask=tmask, need_valid=False)
-    res["binning"] = timeit(stage_bin, rect, depth, tiles, tmask,
-                            iters=args.iters)
-    binning = jax.block_until_ready(stage_bin(rect, depth, tiles, tmask))
+        b = bin_gaussians(rect, depth, tiles, tiles_x, tiles_y, CAP,
+                          chunk=CHUNK, tile_mask=tmask, need_valid=False)
+        return b.gauss_id, b.tile_ranges, b.tile_counts
+    res["binning"] = timeit(jax.jit(_scalarize(stage_bin)),
+                            rect, depth, tiles, tmask, iters=args.iters)
+    binning = jax.block_until_ready(
+        jax.jit(lambda *a: bin_gaussians(
+            a[0], a[1], a[2], tiles_x, tiles_y, CAP, chunk=CHUNK,
+            tile_mask=a[3], need_valid=False))(rect, depth, tiles, tmask))
     print("num_rendered:", int(binning.num_rendered),
           "padded:", int(binning.tile_ranges[-1]),
           "overflow:", bool(binning.overflow))
 
     # ---- stage 3: pack gather (fwd) ------------------------------------
-    @jax.jit
     def stage_pack(m2d, conic, color, opac):
         return pack_instance_attrs(m2d, conic, color, opac, binning)
-    res["pack fwd"] = timeit(stage_pack, m2d, conic, color, opac,
-                             iters=args.iters)
-    attrs = jax.block_until_ready(stage_pack(m2d, conic, color, opac))
+    res["pack fwd"] = timeit(jax.jit(_scalarize(stage_pack)),
+                             m2d, conic, color, opac, iters=args.iters)
+    attrs = jax.block_until_ready(
+        jax.jit(stage_pack)(m2d, conic, color, opac))
 
     # ---- stage 3b: pack bwd (the scatter-add) ---------------------------
-    @jax.jit
     def stage_pack_grad(m2d, conic, color, opac):
         def f(m2d, conic, color, opac):
             a = pack_instance_attrs(m2d, conic, color, opac, binning)
             return jnp.sum(a * 1e-6)
         return jax.grad(f, argnums=(0, 1, 2, 3))(m2d, conic, color, opac)
-    t_pack_both = timeit(stage_pack_grad, m2d, conic, color, opac,
-                         iters=args.iters)
+    t_pack_both = timeit(jax.jit(_scalarize(stage_pack_grad)),
+                         m2d, conic, color, opac, iters=args.iters)
     res["pack bwd (scatter)"] = t_pack_both - res["pack fwd"]
 
     # ---- stage 4: blend kernels ----------------------------------------
-    @jax.jit
     def stage_blend_fwd(attrs):
         return _blend_core(attrs, binning.tile_ranges, binning.tile_counts,
                            tiles_x, tiles_y)
-    res["blend fwd kernel"] = timeit(stage_blend_fwd, attrs,
-                                     iters=args.iters)
+    res["blend fwd kernel"] = timeit(jax.jit(_scalarize(stage_blend_fwd)),
+                                     attrs, iters=args.iters)
 
-    @jax.jit
     def stage_blend_both(attrs):
         def f(attrs):
             acc, fT = _blend_core(attrs, binning.tile_ranges,
                                   binning.tile_counts, tiles_x, tiles_y)
             return jnp.sum(acc) + jnp.sum(fT)
         return jax.grad(f)(attrs)
-    t_blend_both = timeit(stage_blend_both, attrs, iters=args.iters)
+    t_blend_both = timeit(jax.jit(_scalarize(stage_blend_both)),
+                          attrs, iters=args.iters)
     res["blend bwd kernel"] = t_blend_both - res["blend fwd kernel"]
 
     # ---- full pipeline ---------------------------------------------------
-    @jax.jit
     def full_fwd(means, scales, rots, opac, sh):
         return rasterize(means, scales, rots, opac, camarr, W, H, bg,
                          sh_coeffs=sh, sh_degree=3, instance_cap=CAP,
                          backend="pallas").image
-    res["full fwd"] = timeit(full_fwd, means, scales, rots, opac, sh,
-                             iters=args.iters)
+    res["full fwd"] = timeit(jax.jit(_scalarize(full_fwd)),
+                             means, scales, rots, opac, sh, iters=args.iters)
 
-    @jax.jit
     def full_step(means, scales, rots, opac, sh):
         def loss_fn(*a):
             out = rasterize(*a[:4], camarr, W, H, bg, sh_coeffs=a[4],
@@ -161,7 +175,8 @@ def main():
             return jnp.mean(jnp.abs(out.image - tgt))
         return jax.value_and_grad(loss_fn, argnums=(0, 1, 2, 3, 4))(
             means, scales, rots, opac, sh)
-    res["full fwd+bwd"] = timeit(full_step, means, scales, rots, opac, sh,
+    res["full fwd+bwd"] = timeit(jax.jit(_scalarize(full_step)),
+                                 means, scales, rots, opac, sh,
                                  iters=args.iters)
 
     print(f"\n{'stage':<22} {'ms':>9}")
