@@ -145,14 +145,20 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
     # int32 with 10-bit fields (supports images up to 1024 tiles per axis
     # = 16k pixels), so 3-4 columns instead of 5+
     assert tiles_x <= 1024 and tiles_y <= 1024, "rect pack field overflow"
-    rect_pack = (rect[:, 0] | (rect[:, 1] << 10)
-                 | (jnp.maximum(rect[:, 2] - rect[:, 0], 1) << 20))
+    rect_w = jnp.maximum(rect[:, 2] - rect[:, 0], 1)
+    rect_pack = (rect[:, 0] | (rect[:, 1] << 10) | (rect_w << 20))
+    # per-gaussian f32 reciprocal of the rect width: the per-instance
+    # local//w and local%w below become a multiply + floor + one +-1
+    # correction instead of a dynamic-divisor integer division (which the
+    # VPU emulates slowly over 2.4M+ instances)
+    rcp_w = jax.lax.bitcast_convert_type(
+        1.0 / rect_w.astype(jnp.float32), jnp.int32)
     cols = [rect_pack, starts.astype(jnp.int32),
             jax.lax.bitcast_convert_type(depth.astype(jnp.float32),
-                                         jnp.int32)]
+                                         jnp.int32), rcp_w]
     if tile_mask is not None:
         cols.append(tile_mask.astype(jnp.int32))
-    recs = jnp.stack(cols, axis=1)                       # [N,3 or 4] int32
+    recs = jnp.stack(cols, axis=1)                       # [N,4 or 5] int32
     r = recs[g_c]                                        # [I,*]
     x0 = r[:, 0] & 0x3FF
     y0 = (r[:, 0] >> 10) & 0x3FF
@@ -163,10 +169,18 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
         # mask width pass unconditionally. Culled instances keep their
         # allocated slot (mapping stays trivial) but take the sentinel tile
         # and sort to the end, so no blend range ever includes them.
-        hit = ((r[:, 3] >> jnp.minimum(local, 31)) & 1) == 1
+        hit = ((r[:, 4] >> jnp.minimum(local, 31)) & 1) == 1
         valid = valid & (hit | (local >= 32))
-    tx = x0 + local % rw
-    ty = y0 + local // rw
+    # local // rw via f32 reciprocal multiply: |fl(local*fl(1/rw)) -
+    # local/rw| < 1 for local < 2^20 (two roundings, rel err <= 2^-23), so
+    # the candidate is off by at most one — fixed by the remainder test
+    rcp = jax.lax.bitcast_convert_type(r[:, 3], jnp.float32)
+    q0 = jnp.floor(jnp.maximum(local, 0).astype(jnp.float32) * rcp
+                   ).astype(jnp.int32)
+    r0 = local - q0 * rw
+    ty_off = q0 + (r0 >= rw).astype(jnp.int32) - (r0 < 0).astype(jnp.int32)
+    tx = x0 + local - ty_off * rw
+    ty = y0 + ty_off
     tile_id = jnp.where(valid, ty * tiles_x + tx, num_tiles).astype(jnp.int32)
 
     # Fused 32-bit (tile | depth) sort key: ONE key operand + the gaussian

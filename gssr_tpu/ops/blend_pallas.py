@@ -197,7 +197,8 @@ def _fwd_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, out_ref,
             a, _extras = _chunk_alpha(A, px, py, count - k * CHUNK)
             one_m = 1.0 - a
             pfx = _prefix_prod_excl_lanes(one_m)
-            d_before = state_ref[:, 0:1] * pfx
+            d0 = state_ref[:, 0:1]
+            d_before = d0 * pfx
             d_inc = d_before * one_m
             contrib = (a > 0.0) & (d_inc >= T_EPS)
             w = jnp.where(contrib, a * d_before, 0.0)      # (PIX, CHUNK)
@@ -205,9 +206,17 @@ def _fwd_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, out_ref,
                 acc_ref[:, c:c + 1] += jnp.sum(
                     w * A[ATTR_R + c:ATTR_R + c + 1, :],
                     axis=1, keepdims=True)
-            state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:] * one_m[:, -1:])
-            state_ref[:, 1:2] = state_ref[:, 1:2] * _total_prod_lanes(
-                jnp.where(contrib, one_m, 1.0))
+            # blended-only transmittance update WITHOUT a second prefix
+            # product: within a chunk every a>0 lane up to the last
+            # contributing lane c contributes (d_inc = d0*pfx[i+1] is
+            # monotone non-increasing), so prod_{contrib}(1-a) =
+            # pfx[c]*one_m[c] = d_inc[c]/d0 = min_{contrib}(d_inc)/d0.
+            # When some lane contributes, d_inc[c] >= T_EPS forces d0 > 0.
+            mind = jnp.min(jnp.where(contrib, d_inc, 3.0e38), axis=1,
+                           keepdims=True)
+            state_ref[:, 0:1] = d0 * (pfx[:, -1:] * one_m[:, -1:])
+            state_ref[:, 1:2] = state_ref[:, 1:2] * jnp.where(
+                mind < 3.0e38, mind / jnp.maximum(d0, 1e-30), 1.0)
 
         return jnp.where(fetch_next, jnp.int32(1), jnp.int32(0))
 
