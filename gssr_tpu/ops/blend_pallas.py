@@ -202,10 +202,12 @@ def _fwd_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, out_ref,
             d_inc = d_before * one_m
             contrib = (a > 0.0) & (d_inc >= T_EPS)
             w = jnp.where(contrib, a * d_before, 0.0)      # (PIX, CHUNK)
-            for c in range(3):
-                acc_ref[:, c:c + 1] += jnp.sum(
-                    w * A[ATTR_R + c:ATTR_R + c + 1, :],
-                    axis=1, keepdims=True)
+            # color accumulation as one (PIX,CHUNK)@(CHUNK,3) MXU matmul
+            # instead of 3 lane-reductions; HIGHEST keeps f32 accuracy
+            acc_ref[:, 0:3] += jax.lax.dot_general(
+                w, A[ATTR_R:ATTR_B + 1, :], (((1,), (1,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
             # blended-only transmittance update WITHOUT a second prefix
             # product: within a chunk every a>0 lane up to the last
             # contributing lane c contributes (d_inc = d0*pfx[i+1] is
@@ -241,6 +243,18 @@ def _bwd_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, fwd_ref, cot_ref,
     dacc = cot_ref[0, :, 0:3]                 # (PIX, 3)
     dT = cot_ref[0, :, 3:4]                   # (PIX, 1)
     final_T = fwd_ref[0, :, 3:4]              # (PIX, 1)
+
+    # Tile-LOCAL pixel polynomial basis for the moment matmul (see pass2).
+    # Local coords keep |mean - origin| on the same scale as dx, so the
+    # binomial expansions of sum(dpower*dx^a*dy^b) below never cancel
+    # catastrophically (global px^2 ~ 2.6e6 would eat ~3 f32 digits).
+    ox = px[0:1, :]                           # tile origin (scalar-ish)
+    oy = py[0:1, :]
+    pxl = px - ox
+    pyl = py - oy
+    poly = jnp.concatenate(
+        [jnp.ones_like(pxl), pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl],
+        axis=1)                               # (PIX, 6)
 
     in_copy = _in_copy_factory(attrs_ref, abuf, in_sem, start)
 
@@ -295,7 +309,11 @@ def _bwd_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, fwd_ref, cot_ref,
             d_before = state_ref[:, 0:1] * pfx
             contrib = (a > 0.0) & (d_before * one_m >= T_EPS)
             w = jnp.where(contrib, a * d_before, 0.0)
-            u = _dot_color(A, dacc)
+            # u[p,i] = color_i . dacc_p as a (PIX,3)@(3,CHUNK) matmul
+            u = jax.lax.dot_general(
+                dacc, A[ATTR_R:ATTR_B + 1, :], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
             wu = w * u
             prefix_inc = state_ref[:, 2:3] + _prefix_sum_lanes(wu, False)
             suffix = total - prefix_inc                    # (PIX, CHUNK)
@@ -307,26 +325,46 @@ def _bwd_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, fwd_ref, cot_ref,
             unclamped = raw < ALPHA_MAX
             da_eff = jnp.where(ok & unclamped, da, 0.0)
             dpower = da_eff * raw                          # d alpha/d power
+            # All six geometry/opacity rows are sums over pixels of
+            # dpower * poly(dx, dy) with dx = mx - px. Expanding in the
+            # tile-local frame, every row is algebra over the six moments
+            # M[m,i] = sum_p dpower[p,i] * poly[p,m] — ONE (6,PIX)@(PIX,
+            # CHUNK) MXU matmul replaces nine sublane reductions. The
+            # opacity row uses sum(da_eff*g_exp) = sum(dpower)/op exactly
+            # (raw = op*g_exp and clamped/masked lanes have dpower = 0).
+            M = jax.lax.dot_general(
+                poly, dpower, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)        # (6, CHUNK)
+            m0, m_x, m_y = M[0:1, :], M[1:2, :], M[2:3, :]
+            mxx, mxy, myy = M[3:4, :], M[4:5, :], M[5:6, :]
             r = lambda i: A[i:i + 1, :]
             cxx, cxy, cyy = r(ATTR_CXX), r(ATTR_CXY), r(ATTR_CYY)
+            gx = r(ATTR_MX) - ox               # mean in the tile-local frame
+            gy = r(ATTR_MY) - oy
+            ex = gx * m0 - m_x                 # sum_p dpower * dx
+            ey = gy * m0 - m_y
+            sxx = gx * (gx * m0 - 2.0 * m_x) + mxx   # sum_p dpower * dx*dx
+            sxy = gx * ey - gy * m_x + mxy           # sum_p dpower * dx*dy
+            syy = gy * (gy * m0 - 2.0 * m_y) + myy
             rows = [
-                jnp.sum(dpower * -(cxx * dx + cxy * dy), axis=0,
-                        keepdims=True),
-                jnp.sum(dpower * -(cyy * dy + cxy * dx), axis=0,
-                        keepdims=True),
-                jnp.sum(dpower * (-0.5 * dx * dx), axis=0, keepdims=True),
-                jnp.sum(dpower * (-dx * dy), axis=0, keepdims=True),
-                jnp.sum(dpower * (-0.5 * dy * dy), axis=0, keepdims=True),
-                jnp.sum(da_eff * g_exp, axis=0, keepdims=True),
-            ] + [
-                jnp.sum(w * dacc[:, c:c + 1], axis=0, keepdims=True)
-                for c in range(3)
+                -(cxx * ex + cxy * ey),
+                -(cyy * ey + cxy * ex),
+                -0.5 * sxx,
+                -sxy,
+                -0.5 * syy,
+                m0 / jnp.maximum(r(ATTR_OP), 1e-20),
             ]
+            # color rows: (3,PIX)@(PIX,CHUNK) matmul over the blend weights
+            crows = jax.lax.dot_general(
+                dacc, w, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)        # (3, CHUNK)
             dbuf[slot] = jnp.concatenate(
-                rows + [jnp.zeros((NUM_ATTRS - 9, CHUNK), jnp.float32)],
+                rows + [crows,
+                        jnp.zeros((NUM_ATTRS - 9, CHUNK), jnp.float32)],
                 axis=0)
-            state_ref[:, 2:3] = state_ref[:, 2:3] + jnp.sum(
-                wu, axis=1, keepdims=True)
+            state_ref[:, 2:3] = prefix_inc[:, -1:]
             state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:] * one_m[:, -1:])
 
         @pl.when(jnp.logical_not(alive))
