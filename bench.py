@@ -30,8 +30,8 @@ def main():
     N = 200_000
     # tight instance capacity: every binning/pack/scatter op scales
     # linearly with CAP, so size it to the workload (trainer auto-bumps on
-    # overflow; here the workload is fixed at ~3.8M padded instances)
-    CAP = 2_490_368
+    # overflow; here the workload pads to ~2.65M chunk-aligned instances)
+    CAP = 2_555_904
 
     rng = np.random.default_rng(0)
     cam = Camera(uid=0, colmap_id=0, image_name="bench",

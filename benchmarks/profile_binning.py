@@ -67,83 +67,32 @@ def main():
     res = {}
 
     # ---- expand: everything before the sort -----------------------------
+    num_tiles_ = num_tiles
+    tile_bits = max(1, int(num_tiles_ + 1).bit_length())
+    depth_bits = 32 - tile_bits
+
     def expand(rect, depth, tiles_touched, tile_mask):
-        n = depth.shape[0]
-        offsets = jnp.cumsum(tiles_touched)
-        num_rendered = offsets[-1]
-        starts = offsets - tiles_touched
-        ii = jnp.arange(CAP, dtype=jnp.int32)
-        gauss_idx = jnp.arange(n, dtype=jnp.int32)
-        marks = jnp.zeros(CAP, jnp.int32).at[
-            jnp.where(tiles_touched > 0, starts, CAP)
-        ].set(gauss_idx + 1, mode="drop")
-        g_c = jnp.clip(jax.lax.cummax(marks) - 1, 0, n - 1).astype(jnp.int32)
-        valid = ii < num_rendered
-        rect_pack = (rect[:, 0] | (rect[:, 1] << 10)
-                     | (jnp.maximum(rect[:, 2] - rect[:, 0], 1) << 20))
-        cols = [rect_pack, starts.astype(jnp.int32),
-                jax.lax.bitcast_convert_type(depth.astype(jnp.float32),
-                                             jnp.int32),
-                tile_mask.astype(jnp.int32)]
-        recs = jnp.stack(cols, axis=1)
-        r = recs[g_c]
-        x0 = r[:, 0] & 0x3FF
-        y0 = (r[:, 0] >> 10) & 0x3FF
-        rw = (r[:, 0] >> 20) & 0x3FF
-        local = ii - r[:, 1]
-        hit = ((r[:, 3] >> jnp.minimum(local, 31)) & 1) == 1
-        valid = valid & (hit | (local >= 32))
-        tx = x0 + local % rw
-        ty = y0 + local // rw
-        tile_id = jnp.where(valid, ty * tiles_x + tx,
-                            num_tiles).astype(jnp.int32)
-        tile_bits = max(1, int(num_tiles + 1).bit_length())
-        depth_bits = 32 - tile_bits
-        inf_bits = jnp.int32(0x7F800000)
-        dq = jnp.where(valid, r[:, 2], inf_bits) >> (31 - depth_bits)
-        key = ((tile_id << depth_bits) | (dq & ((1 << depth_bits) - 1))) \
-            ^ jnp.int32(-(2 ** 31))
-        return key, g_c
+        key, payload, num_rendered, ii = B._expand_keys(
+            rect, depth, tiles_touched, tile_mask, tiles_x, num_tiles_,
+            CAP, depth_bits)
+        return key, payload
 
     res["expand"] = timeit(jax.jit(_scalarize(expand)),
                            rect, depth, tiles, tmask, iters=args.iters)
-    key, g_c = jax.block_until_ready(
+    key, payload = jax.block_until_ready(
         jax.jit(expand)(rect, depth, tiles, tmask))
 
+    # ---- rect-cover histogram (MXU matmul) -------------------------------
+    def hist(rect, tiles_touched):
+        return B.tile_cover_counts(rect, tiles_touched > 0, tiles_x, tiles_y)
+    res["histogram"] = timeit(jax.jit(_scalarize(hist)), rect, tiles,
+                              iters=args.iters)
+
     # ---- sort alone ------------------------------------------------------
-    def sort_only(key, g_c):
-        return jax.lax.sort((key, g_c), num_keys=1)
-    res["sort"] = timeit(jax.jit(_scalarize(sort_only)), key, g_c,
+    def sort_only(key, payload):
+        return jax.lax.sort((key, payload), num_keys=1)
+    res["sort"] = timeit(jax.jit(_scalarize(sort_only)), key, payload,
                          iters=args.iters)
-    skey, sgauss = jax.block_until_ready(jax.jit(sort_only)(key, g_c))
-
-    # ---- postsort: ranges + chunk-align move ----------------------------
-    def postsort(sorted_key, sorted_gauss):
-        depth_bits = 32 - max(1, int(num_tiles + 1).bit_length())
-        bounds = (jnp.arange(num_tiles + 1, dtype=jnp.int32) << depth_bits) \
-            ^ jnp.int32(-(2 ** 31))
-        tile_ranges = jnp.searchsorted(sorted_key, bounds,
-                                       side="left").astype(jnp.int32)
-        counts = tile_ranges[1:] - tile_ranges[:-1]
-        padded_counts = (counts + CHUNK - 1) // CHUNK * CHUNK
-        padded_starts = jnp.concatenate(
-            [jnp.zeros(1, jnp.int32),
-             jnp.cumsum(padded_counts).astype(jnp.int32)])
-        padded_starts = jnp.minimum(padded_starts, CAP)
-        ii = jnp.arange(CAP, dtype=jnp.int32)
-        start_pos = jnp.where(padded_counts > 0, padded_starts[:-1], CAP)
-
-        def bcast(vals):
-            m = jnp.zeros(CAP, jnp.int32).at[start_pos].set(
-                vals, mode="drop")
-            return jax.lax.cummax(m)
-
-        seg_shift = bcast(padded_starts[:-1] - tile_ranges[:-1])
-        src = ii - seg_shift
-        gauss_p = sorted_gauss[src]
-        return gauss_p, padded_starts, counts
-    res["postsort"] = timeit(jax.jit(_scalarize(postsort)), skey, sgauss,
-                             iters=args.iters)
 
     # ---- backward ablations ---------------------------------------------
     def step(stop_pre: bool, no_scatter: bool):
@@ -161,20 +110,18 @@ def main():
                 jax.lax.stop_gradient(proj.depth),
                 jax.lax.stop_gradient(proj.tiles_touched),
                 tiles_x, tiles_y, CAP, chunk=CHUNK,
-                tile_mask=proj.tile_mask, need_valid=False)
-            n = means.shape[0]
-            zeros = jnp.zeros((n, BP.NUM_ATTRS - 9), jnp.float32)
+                tile_mask=proj.tile_mask)
             per_gauss = jnp.concatenate(
-                [proj.mean2d, proj.conic, opac[:, None], color, zeros],
-                axis=1)
+                [proj.mean2d, proj.conic, opac[:, None], color], axis=1)
             if no_scatter:
                 gathered = jax.lax.stop_gradient(per_gauss)[binning.gauss_id] \
                     + 0.0 * per_gauss[0, 0]
             else:
                 gathered = gather_rows(per_gauss, binning.gauss_id, 9)
-            attrs = gathered.T
+            attrs = (gathered * binning.hit[:, None]).T
             acc, fT = _blend_core(attrs, binning.tile_ranges,
-                                  binning.tile_counts, tiles_x, tiles_y)
+                                  binning.chunk_map, binning.n_live_chunks,
+                                  tiles_x, tiles_y)
             img = acc + fT[..., None] * bg
             return jnp.mean(jnp.abs(img - tgt))
         def f(*a):

@@ -113,14 +113,14 @@ def main():
     # ---- stage 2: binning ----------------------------------------------
     def stage_bin(rect, depth, tiles, tmask):
         b = bin_gaussians(rect, depth, tiles, tiles_x, tiles_y, CAP,
-                          chunk=CHUNK, tile_mask=tmask, need_valid=False)
-        return b.gauss_id, b.tile_ranges, b.tile_counts
+                          chunk=CHUNK, tile_mask=tmask)
+        return b.gauss_id, b.hit, b.tile_ranges, b.chunk_map
     res["binning"] = timeit(jax.jit(_scalarize(stage_bin)),
                             rect, depth, tiles, tmask, iters=args.iters)
     binning = jax.block_until_ready(
         jax.jit(lambda *a: bin_gaussians(
             a[0], a[1], a[2], tiles_x, tiles_y, CAP, chunk=CHUNK,
-            tile_mask=a[3], need_valid=False))(rect, depth, tiles, tmask))
+            tile_mask=a[3]))(rect, depth, tiles, tmask))
     print("num_rendered:", int(binning.num_rendered),
           "padded:", int(binning.tile_ranges[-1]),
           "overflow:", bool(binning.overflow))
@@ -145,15 +145,16 @@ def main():
 
     # ---- stage 4: blend kernels ----------------------------------------
     def stage_blend_fwd(attrs):
-        return _blend_core(attrs, binning.tile_ranges, binning.tile_counts,
-                           tiles_x, tiles_y)
+        return _blend_core(attrs, binning.tile_ranges, binning.chunk_map,
+                           binning.n_live_chunks, tiles_x, tiles_y)
     res["blend fwd kernel"] = timeit(jax.jit(_scalarize(stage_blend_fwd)),
                                      attrs, iters=args.iters)
 
     def stage_blend_both(attrs):
         def f(attrs):
             acc, fT = _blend_core(attrs, binning.tile_ranges,
-                                  binning.tile_counts, tiles_x, tiles_y)
+                                  binning.chunk_map, binning.n_live_chunks,
+                                  tiles_x, tiles_y)
             return jnp.sum(acc) + jnp.sum(fT)
         return jax.grad(f)(attrs)
     t_blend_both = timeit(jax.jit(_scalarize(stage_blend_both)),

@@ -28,6 +28,12 @@ def main():
     ap.add_argument("--no-gpu", action="store_true")
     ap.add_argument("--skip-matching", action="store_true")
     ap.add_argument("--resize", action="store_true")
+    ap.add_argument("--use-aligner", action="store_true",
+                    help="run colmap model_orientation_aligner so the "
+                         "ground plane is axis-aligned before VastGaussian "
+                         "splitting (reference convert.py:69-78); "
+                         "split_scene.py --auto-align is the "
+                         "colmap-binary-free equivalent")
     args = ap.parse_args()
 
     colmap = args.colmap_executable

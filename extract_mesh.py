@@ -97,17 +97,19 @@ def main():
     if args.skip_mesh:
         return
     if args.unbounded:
-        verts, faces = extractor.extract_mesh_unbounded(
+        verts, faces, colors = extractor.extract_mesh_unbounded(
             args.resolution, alpha_thres=args.alpha_thres)
     else:
-        verts, faces = extractor.extract_mesh_bounded(
+        verts, faces, colors = extractor.extract_mesh_bounded(
             voxel_size=args.voxel_size, sdf_trunc=args.sdf_trunc,
             depth_trunc=args.depth_trunc, alpha_thres=args.alpha_thres)
     print(f"raw mesh: {len(verts)} verts, {len(faces)} faces")
     if args.num_cluster > 0 and len(faces):
-        verts, faces = keep_largest_clusters(verts, faces, args.num_cluster)
+        verts, faces, colors = keep_largest_clusters(
+            verts, faces, args.num_cluster, vert_attrs=np.asarray(colors))
     mesh_path = out_dir / "fused_mesh.ply"
-    write_mesh_ply(str(mesh_path), np.asarray(verts), np.asarray(faces))
+    write_mesh_ply(str(mesh_path), np.asarray(verts), np.asarray(faces),
+                   np.asarray(colors))
     print(f"saved {mesh_path} ({len(verts)} verts, {len(faces)} faces)")
 
     if args.eval_gt:

@@ -88,11 +88,13 @@ def main():
                             depth_trunc=float(args.depth_trunc),
                             alpha=jnp.asarray(alpha))
     from gssr_tpu.utils.tsdf import extract_mesh
-    verts, faces = extract_mesh(vol)
+    verts, faces, colors = extract_mesh(vol)
     if args.num_cluster > 0 and len(faces):
-        verts, faces = keep_largest_clusters(verts, faces, args.num_cluster)
+        verts, faces, colors = keep_largest_clusters(
+            verts, faces, args.num_cluster, vert_attrs=np.asarray(colors))
     out = args.out or os.path.join(args.runs_root, "fused_mesh.ply")
-    write_mesh_ply(out, np.asarray(verts), np.asarray(faces))
+    write_mesh_ply(out, np.asarray(verts), np.asarray(faces),
+                   np.asarray(colors))
     print(f"saved {out} ({len(verts)} verts, {len(faces)} faces)")
 
     if args.eval_gt:

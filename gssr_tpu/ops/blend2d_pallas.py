@@ -81,11 +81,13 @@ FAR_N = 100.0
 M_COEF = FAR_N / (FAR_N - NEAR_N)
 
 
-def _surfel_alpha(A, px, py, nvalid):
+def _surfel_alpha(A, px, py):
     """Per-(pixel, instance) surfel evaluation for one chunk.
 
-    A: (NUM_ATTRS2, CHUNK). Returns (a, aux), a is (PIX, CHUNK).
-    nvalid: real-lane count for this chunk (tile_counts[t] - k*CHUNK).
+    A: (NUM_ATTRS2, CHUNK). Returns (a, aux), a is (PIX, CHUNK). Filler /
+    non-hit lanes arrive with all-zero attrs (pack multiplies binning.hit),
+    which fails pz_ok and the depth >= near gate — exact no-op lanes with
+    no validity side channel.
     """
     r = lambda i: A[i:i + 1, :]
     tw0, tw1, tw2 = r(A_TW), r(A_TW + 1), r(A_TW + 2)
@@ -109,8 +111,7 @@ def _surfel_alpha(A, px, py, nvalid):
     g_exp = jnp.exp(-0.5 * rho)
     raw = r(A_OP) * g_exp
     alpha = jnp.minimum(ALPHA_MAX, raw)
-    lane_ok = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1) < nvalid
-    ok = (lane_ok & pz_ok & (depth >= NEAR_N)
+    ok = (pz_ok & (depth >= NEAR_N)
           & (alpha >= ALPHA_MIN))
     a = jnp.where(ok, alpha, 0.0)
     safe_depth = jnp.maximum(depth, 1e-6)
@@ -121,13 +122,13 @@ def _surfel_alpha(A, px, py, nvalid):
     return a, aux
 
 
-def _fwd2_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, out_ref,
-                 abuf, acc_ref, state_ref, sem):
+def _fwd2_kernel(tiles_x, num_tiles, ranges_ref, attrs_ref, out_ref,
+                 abuf, hbuf, acc_ref, state_ref, sem, hsem):
     t = pl.program_id(0)
     start = pl.multiple_of(ranges_ref[t], CHUNK)
     end = ranges_ref[t + 1]
+    total = ranges_ref[num_tiles]
     nchunks = (end - start) // CHUNK
-    count = counts_ref[t]                 # real (unpadded) instance count
 
     px, py = _pixel_cols(t, tiles_x)
     acc_ref[:] = jnp.zeros((PIX, OUT2_ROWS), jnp.float32)
@@ -142,85 +143,109 @@ def _fwd2_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, out_ref,
             attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
             abuf.at[slot], sem.at[slot])
 
+    def head_copy(offset):
+        return pltpu.make_async_copy(
+            attrs_ref.at[:, pl.ds(pl.multiple_of(offset, CHUNK), CHUNK)],
+            hbuf, hsem)
+
+    def chunk_step(A, k):
+        a, aux = _surfel_alpha(A, px, py)
+        one_m = 1.0 - a
+        pfx = _prefix_prod_excl_lanes(one_m)
+        d_before = state_ref[:, 0:1] * pfx
+        d_inc = d_before * one_m
+        contrib = (a > 0.0) & (d_inc >= T_EPS)
+        w = jnp.where(contrib, a * d_before, 0.0)
+
+        depth = aux["depth"]
+        m = aux["m"]
+        wm = w * m
+        # distortion: per-instance prefix accumulators (exclusive)
+        A_bef = 1.0 - d_before
+        M1_bef = state_ref[:, 2:3] + _prefix_sum_lanes(wm, True)
+        M2_bef = state_ref[:, 3:4] + _prefix_sum_lanes(wm * m, True)
+        acc_ref[:, O_DIST:O_DIST + 1] += jnp.sum(
+            (m * m * A_bef + M2_bef - 2.0 * m * M1_bef) * w,
+            axis=1, keepdims=True)
+        acc_ref[:, O_D:O_D + 1] += jnp.sum(w * depth, axis=1,
+                                           keepdims=True)
+        for ci in range(3):
+            acc_ref[:, O_RGB + ci:O_RGB + ci + 1] += jnp.sum(
+                w * A[A_RGB + ci:A_RGB + ci + 1, :], axis=1,
+                keepdims=True)
+            acc_ref[:, O_NRM + ci:O_NRM + ci + 1] += jnp.sum(
+                w * A[A_NRM + ci:A_NRM + ci + 1, :], axis=1,
+                keepdims=True)
+
+        # median (last contributing instance with blend-T > 0.5)
+        med_mask = contrib & (d_before > 0.5)
+        idx1 = jnp.max(jnp.where(med_mask, gidx + 1, 0), axis=1,
+                       keepdims=True)                       # (PIX, 1)
+        has = idx1 > 0
+        onehot = (gidx + 1) == idx1
+        sel_depth = jnp.sum(jnp.where(onehot, depth, 0.0), axis=1,
+                            keepdims=True)
+        acc_ref[:, O_MED:O_MED + 1] = jnp.where(
+            has, sel_depth, acc_ref[:, O_MED:O_MED + 1])
+        acc_ref[:, O_SELPOS:O_SELPOS + 1] = jnp.where(
+            has, (k * CHUNK + idx1 - 1).astype(jnp.float32),
+            acc_ref[:, O_SELPOS:O_SELPOS + 1])
+        for ci in range(3):
+            sel_n = jnp.sum(
+                jnp.where(onehot, A[A_NRM + ci:A_NRM + ci + 1, :], 0.0),
+                axis=1, keepdims=True)
+            acc_ref[:, O_MEDNRM + ci:O_MEDNRM + ci + 1] = jnp.where(
+                has, sel_n, acc_ref[:, O_MEDNRM + ci:O_MEDNRM + ci + 1])
+
+        state_ref[:, 2:3] += jnp.sum(wm, axis=1, keepdims=True)
+        state_ref[:, 3:4] += jnp.sum(wm * m, axis=1, keepdims=True)
+        state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:] * one_m[:, -1:])
+        state_ref[:, 1:2] = state_ref[:, 1:2] * _total_prod_lanes(
+            jnp.where(contrib, one_m, 1.0))
+
     @pl.when(nchunks > 0)
     def _():
-        in_copy(0, 0).start()
-
-    def body(k, pending):
-        slot = jax.lax.rem(k, 2)
-
-        @pl.when(pending == 1)
+        # chunk 0 via the cross-program head buffer (see blend_pallas
+        # _fwd_kernel): predecessor prefetched it; first nonempty tile
+        # cold-starts the chain
+        @pl.when(start == 0)
         def _():
-            in_copy(k, slot).wait()
+            head_copy(0).start()
+        head_copy(start).wait()
 
-        alive = jnp.max(state_ref[:, 0]) >= T_EPS
-        do = (pending == 1) & alive
-        fetch_next = do & (k + 1 < nchunks)
-
-        @pl.when(fetch_next)
+        @pl.when(nchunks > 1)
         def _():
-            in_copy(k + 1, 1 - slot).start()
+            in_copy(1, 1).start()
 
-        @pl.when(do)
+        chunk_step(hbuf[:, :], 0)
+
+        @pl.when(end < total)
         def _():
-            A = abuf[slot]
-            a, aux = _surfel_alpha(A, px, py, count - k * CHUNK)
-            one_m = 1.0 - a
-            pfx = _prefix_prod_excl_lanes(one_m)
-            d_before = state_ref[:, 0:1] * pfx
-            d_inc = d_before * one_m
-            contrib = (a > 0.0) & (d_inc >= T_EPS)
-            w = jnp.where(contrib, a * d_before, 0.0)
+            head_copy(end).start()
 
-            depth = aux["depth"]
-            m = aux["m"]
-            wm = w * m
-            # distortion: per-instance prefix accumulators (exclusive)
-            A_bef = 1.0 - d_before
-            M1_bef = state_ref[:, 2:3] + _prefix_sum_lanes(wm, True)
-            M2_bef = state_ref[:, 3:4] + _prefix_sum_lanes(wm * m, True)
-            acc_ref[:, O_DIST:O_DIST + 1] += jnp.sum(
-                (m * m * A_bef + M2_bef - 2.0 * m * M1_bef) * w,
-                axis=1, keepdims=True)
-            acc_ref[:, O_D:O_D + 1] += jnp.sum(w * depth, axis=1,
-                                               keepdims=True)
-            for ci in range(3):
-                acc_ref[:, O_RGB + ci:O_RGB + ci + 1] += jnp.sum(
-                    w * A[A_RGB + ci:A_RGB + ci + 1, :], axis=1,
-                    keepdims=True)
-                acc_ref[:, O_NRM + ci:O_NRM + ci + 1] += jnp.sum(
-                    w * A[A_NRM + ci:A_NRM + ci + 1, :], axis=1,
-                    keepdims=True)
+        def body(k, pending):
+            slot = jax.lax.rem(k, 2)
 
-            # median (last contributing instance with blend-T > 0.5)
-            med_mask = contrib & (d_before > 0.5)
-            idx1 = jnp.max(jnp.where(med_mask, gidx + 1, 0), axis=1,
-                           keepdims=True)                       # (PIX, 1)
-            has = idx1 > 0
-            onehot = (gidx + 1) == idx1
-            sel_depth = jnp.sum(jnp.where(onehot, depth, 0.0), axis=1,
-                                keepdims=True)
-            acc_ref[:, O_MED:O_MED + 1] = jnp.where(
-                has, sel_depth, acc_ref[:, O_MED:O_MED + 1])
-            acc_ref[:, O_SELPOS:O_SELPOS + 1] = jnp.where(
-                has, (k * CHUNK + idx1 - 1).astype(jnp.float32),
-                acc_ref[:, O_SELPOS:O_SELPOS + 1])
-            for ci in range(3):
-                sel_n = jnp.sum(
-                    jnp.where(onehot, A[A_NRM + ci:A_NRM + ci + 1, :], 0.0),
-                    axis=1, keepdims=True)
-                acc_ref[:, O_MEDNRM + ci:O_MEDNRM + ci + 1] = jnp.where(
-                    has, sel_n, acc_ref[:, O_MEDNRM + ci:O_MEDNRM + ci + 1])
+            @pl.when(pending == 1)
+            def _():
+                in_copy(k, slot).wait()
 
-            state_ref[:, 2:3] += jnp.sum(wm, axis=1, keepdims=True)
-            state_ref[:, 3:4] += jnp.sum(wm * m, axis=1, keepdims=True)
-            state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:] * one_m[:, -1:])
-            state_ref[:, 1:2] = state_ref[:, 1:2] * _total_prod_lanes(
-                jnp.where(contrib, one_m, 1.0))
+            alive = jnp.max(state_ref[:, 0]) >= T_EPS
+            do = (pending == 1) & alive
+            fetch_next = do & (k + 1 < nchunks)
 
-        return jnp.where(fetch_next, jnp.int32(1), jnp.int32(0))
+            @pl.when(fetch_next)
+            def _():
+                in_copy(k + 1, 1 - slot).start()
 
-    jax.lax.fori_loop(0, nchunks, body, jnp.int32(1))
+            @pl.when(do)
+            def _():
+                chunk_step(abuf[slot], k)
+
+            return jnp.where(fetch_next, jnp.int32(1), jnp.int32(0))
+
+        jax.lax.fori_loop(1, nchunks, body, jnp.int32(nchunks > 1))
+
     acc_ref[:, O_T:O_T + 1] = state_ref[:, 1:2]
     # distortion totals for the backward (replaces its pass-1 walk)
     acc_ref[:, O_S1:O_S1 + 1] = state_ref[:, 2:3]
@@ -228,88 +253,64 @@ def _fwd2_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, out_ref,
     out_ref[0, :, :] = acc_ref[:, :]
 
 
-def _bwd2_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, fwd_ref,
-                 cot_ref, dattr_ref,
-                 abuf, dbuf, state_ref, in_sem, out_sem):
-    t = pl.program_id(0)
-    start = pl.multiple_of(ranges_ref[t], CHUNK)
-    end = ranges_ref[t + 1]
-    nchunks = (end - start) // CHUNK
-    count = counts_ref[t]                 # real (unpadded) instance count
-
-    px, py = _pixel_cols(t, tiles_x)
-    dC = cot_ref[0, :, O_RGB:O_RGB + 3]          # (PIX, 3)
-    dT = cot_ref[0, :, O_T:O_T + 1]
-    dD = cot_ref[0, :, O_D:O_D + 1]
-    dN = cot_ref[0, :, O_NRM:O_NRM + 3]
-    ddist = cot_ref[0, :, O_DIST:O_DIST + 1]
-    dmed = cot_ref[0, :, O_MED:O_MED + 1]
-    final_T = fwd_ref[0, :, O_T:O_T + 1]
-    sel_pos = fwd_ref[0, :, O_SELPOS:O_SELPOS + 1]
+def _bwd2_kernel(tiles_x, cmap_ref, nlive_ref, ranges_ref, attrs_ref,
+                 fwd_ref, cot_ref, dattr_ref, state_ref):
+    i = pl.program_id(0)
+    t = cmap_ref[i]
+    live = i < nlive_ref[0]
+    k = i - ranges_ref[t] // CHUNK        # chunk index within the tile
     gidx = jax.lax.broadcasted_iota(jnp.int32, (PIX, CHUNK), 1)
+    # every chunk writes its gradient block (zeros when dead)
+    dattr_ref[:, :] = jnp.zeros((NUM_ATTRS2, CHUNK), jnp.float32)
 
-    def base_of(A, aux):
-        """beta minus the distortion part: dL/dw from the linear channels."""
-        b = aux["depth"] * dD
-        for ci in range(3):
-            b += A[A_RGB + ci:A_RGB + ci + 1, :] * dC[:, ci:ci + 1]
-            b += A[A_NRM + ci:A_NRM + ci + 1, :] * dN[:, ci:ci + 1]
-        return b
-
-    # Totals the CUDA-style first pass would rebuild, read from the forward
-    # outputs instead: every base channel (rgb, depth, normal) is linear in
-    # w so its total is the forward accumulator contracted with its
-    # cotangent; S0 telescopes to 1 - final_T; S1/S2 are stored by the
-    # forward in the spare output rows.
-    S0 = 1.0 - final_T
-    S1 = fwd_ref[0, :, O_S1:O_S1 + 1]
-    S2 = fwd_ref[0, :, O_S2:O_S2 + 1]
-    total_base = dD * fwd_ref[0, :, O_D:O_D + 1]
-    for _c in range(3):
-        total_base += dC[:, _c:_c + 1] * fwd_ref[0, :, O_RGB + _c:
-                                                 O_RGB + _c + 1]
-        total_base += dN[:, _c:_c + 1] * fwd_ref[0, :, O_NRM + _c:
-                                                 O_NRM + _c + 1]
-    total_wb = total_base + ddist * 2.0 * (S0 * S2 - S1 * S1)
-    bgterm = final_T * dT
-
-    # ---- single pass: gradients -----------------------------------------
-    # state cols: 0 D, 5 prefix_wbeta
-    state_ref[:] = jnp.zeros((PIX, 8), jnp.float32)
-    state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
-
-    def in_copy(k, slot):
-        return pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
-            abuf.at[slot], in_sem.at[slot])
-
-    def out_copy(k, slot):
-        return pltpu.make_async_copy(
-            dbuf.at[slot], dattr_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
-            out_sem.at[slot])
-
-    @pl.when(nchunks > 0)
+    @pl.when(live)
     def _():
-        in_copy(0, 0).start()
+        first = jnp.logical_or(i == 0, cmap_ref[jnp.maximum(i - 1, 0)] != t)
 
-    def pass2(k, _):
-        slot = jax.lax.rem(k, 2)
-        in_copy(k, slot).wait()
-
-        @pl.when(k + 1 < nchunks)
+        @pl.when(first)
         def _():
-            in_copy(k + 1, 1 - slot).start()
+            # state cols: 0 D, 5 prefix_wbeta
+            state_ref[:] = jnp.zeros((PIX, 8), jnp.float32)
+            state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
 
-        @pl.when(k >= 2)
+        @pl.when(jnp.max(state_ref[:, 0]) >= T_EPS)
         def _():
-            out_copy(k - 2, slot).wait()
+            px, py = _pixel_cols(t, tiles_x)
+            dC = cot_ref[0, :, O_RGB:O_RGB + 3]          # (PIX, 3)
+            dT = cot_ref[0, :, O_T:O_T + 1]
+            dD = cot_ref[0, :, O_D:O_D + 1]
+            dN = cot_ref[0, :, O_NRM:O_NRM + 3]
+            ddist = cot_ref[0, :, O_DIST:O_DIST + 1]
+            dmed = cot_ref[0, :, O_MED:O_MED + 1]
+            final_T = fwd_ref[0, :, O_T:O_T + 1]
+            sel_pos = fwd_ref[0, :, O_SELPOS:O_SELPOS + 1]
 
-        alive = jnp.max(state_ref[:, 0]) >= T_EPS
+            # Totals the CUDA-style first pass would rebuild, read from the
+            # forward outputs instead: every base channel (rgb, depth,
+            # normal) is linear in w so its total is the forward
+            # accumulator contracted with its cotangent; S0 telescopes to
+            # 1 - final_T; S1/S2 are stored in the spare output rows.
+            S0 = 1.0 - final_T
+            S1 = fwd_ref[0, :, O_S1:O_S1 + 1]
+            S2 = fwd_ref[0, :, O_S2:O_S2 + 1]
+            total_base = dD * fwd_ref[0, :, O_D:O_D + 1]
+            for _c in range(3):
+                total_base += dC[:, _c:_c + 1] * fwd_ref[0, :, O_RGB + _c:
+                                                         O_RGB + _c + 1]
+                total_base += dN[:, _c:_c + 1] * fwd_ref[0, :, O_NRM + _c:
+                                                         O_NRM + _c + 1]
+            total_wb = total_base + ddist * 2.0 * (S0 * S2 - S1 * S1)
+            bgterm = final_T * dT
 
-        @pl.when(alive)
-        def _():
-            A = abuf[slot]
-            a, aux = _surfel_alpha(A, px, py, count - k * CHUNK)
+            def base_of(A, aux):
+                b = aux["depth"] * dD
+                for ci in range(3):
+                    b += A[A_RGB + ci:A_RGB + ci + 1, :] * dC[:, ci:ci + 1]
+                    b += A[A_NRM + ci:A_NRM + ci + 1, :] * dN[:, ci:ci + 1]
+                return b
+
+            A = attrs_ref[:, :]
+            a, aux = _surfel_alpha(A, px, py)
             one_m = 1.0 - a
             pfx = _prefix_prod_excl_lanes(one_m)
             d_before = state_ref[:, 0:1] * pfx
@@ -327,8 +328,6 @@ def _bwd2_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, fwd_ref,
             unclamped = aux["raw"] < ALPHA_MAX
             da_eff = jnp.where(aux["ok"] & unclamped, da, 0.0)
 
-            # pure boolean algebra: a where() over bool vectors lowers to
-            # an i8 select + i1 truncation Mosaic rejects
             onehot = ((sel_pos >= 0.0)
                       & ((k * CHUNK + gidx).astype(jnp.float32) == sel_pos))
             dm_dd = M_COEF * NEAR_N / (aux["safe_depth"] ** 2)
@@ -343,7 +342,7 @@ def _bwd2_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, fwd_ref,
             is3d = aux["is3d"]
             g2d = jnp.where(is3d, 0.0, grho)
             g3d = jnp.where(is3d, grho, 0.0)
-            r = lambda i: A[i:i + 1, :]
+            r = lambda j: A[j:j + 1, :]
             tw0, tw1 = r(A_TW), r(A_TW + 1)
             gs0 = g3d * 2.0 * aux["s0"] + jnp.where(is3d, gdepth * tw0, 0.0)
             gs1 = g3d * 2.0 * aux["s1"] + jnp.where(is3d, gdepth * tw1, 0.0)
@@ -352,106 +351,85 @@ def _bwd2_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, fwd_ref,
             gp1 = gs1 * inv_pz
             gp2 = -(aux["s0"] * gs0 + aux["s1"] * gs1) * inv_pz
 
-            s = lambda v: jnp.sum(v, axis=0, keepdims=True)
-            # p = CA - px*CB - py*CC, so dCA = gp, dCB = -px*gp,
-            # dCC = -py*gp; Tw only enters through the depth
+            sm = lambda v: jnp.sum(v, axis=0, keepdims=True)
             gps = (gp0, gp1, gp2)
             extras = (gdepth * jnp.where(is3d, aux["s0"], 0.0),
                       gdepth * jnp.where(is3d, aux["s1"], 0.0),
                       gdepth)
             # rows in A_* order: xy(2) CA(3) CB(3) CC(3) tw(3) op rgb(3)
             # nrm(3)
-            rows = ([s(g2d * 4.0 * aux["dx"]), s(g2d * 4.0 * aux["dy"])]
-                    + [s(gpi) for gpi in gps]
-                    + [s(-px * gpi) for gpi in gps]
-                    + [s(-py * gpi) for gpi in gps]
-                    + [s(extras[i]) for i in range(3)]
-                    + [s(da_eff * aux["g_exp"])]
-                    + [s(w * dC[:, ci:ci + 1]) for ci in range(3)]
-                    + [s(w * dN[:, ci:ci + 1]) for ci in range(3)])
-            dbuf[slot] = jnp.concatenate(
+            rows = ([sm(g2d * 4.0 * aux["dx"]), sm(g2d * 4.0 * aux["dy"])]
+                    + [sm(gpi) for gpi in gps]
+                    + [sm(-px * gpi) for gpi in gps]
+                    + [sm(-py * gpi) for gpi in gps]
+                    + [sm(extras[j]) for j in range(3)]
+                    + [sm(da_eff * aux["g_exp"])]
+                    + [sm(w * dC[:, ci:ci + 1]) for ci in range(3)]
+                    + [sm(w * dN[:, ci:ci + 1]) for ci in range(3)])
+            dattr_ref[:, :] = jnp.concatenate(
                 rows + [jnp.zeros((NUM_ATTRS2 - 21, CHUNK), jnp.float32)],
                 axis=0)
 
             state_ref[:, 5:6] = state_ref[:, 5:6] + jnp.sum(
                 wbeta, axis=1, keepdims=True)
-            state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:] * one_m[:, -1:])
-
-        @pl.when(jnp.logical_not(alive))
-        def _():
-            dbuf[slot] = jnp.zeros((NUM_ATTRS2, CHUNK), jnp.float32)
-
-        out_copy(k, slot).start()
-        return 0
-
-    jax.lax.fori_loop(0, nchunks, pass2, 0)
-
-    @pl.when(nchunks >= 2)
-    def _():
-        out_copy(nchunks - 2, jax.lax.rem(nchunks - 2, 2)).wait()
-
-    @pl.when(nchunks >= 1)
-    def _():
-        out_copy(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).wait()
+            state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:]
+                                                     * one_m[:, -1:])
 
 
 # ---------------------------------------------------------------------------
 # wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-def _run_fwd2(attrs, ranges, counts, tiles_x: int, tiles_y: int):
+def _run_fwd2(attrs, ranges, tiles_x: int, tiles_y: int):
     num_tiles = tiles_x * tiles_y
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((1, PIX, OUT2_ROWS), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_ATTRS2, CHUNK), jnp.float32),
+            pltpu.VMEM((NUM_ATTRS2, CHUNK), jnp.float32),
             pltpu.VMEM((PIX, OUT2_ROWS), jnp.float32),
             pltpu.VMEM((PIX, 4), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd2_kernel, tiles_x),
+        functools.partial(_fwd2_kernel, tiles_x, num_tiles),
         out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, OUT2_ROWS),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(ranges, counts, attrs)
+    )(ranges, attrs)
 
 
-def _run_bwd2(attrs, ranges, counts, fwd_out, cot,
-               tiles_x: int, tiles_y: int):
-    num_tiles = tiles_x * tiles_y
+def _run_bwd2(attrs, ranges, cmap, nlive, fwd_out, cot,
+              tiles_x: int, tiles_y: int):
+    n_chunks = attrs.shape[1] // CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        num_scalar_prefetch=3,
+        grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, PIX, OUT2_ROWS), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX, OUT2_ROWS), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NUM_ATTRS2, CHUNK),
+                         lambda i, cmap, nl, rg: (0, i)),
+            pl.BlockSpec((1, PIX, OUT2_ROWS),
+                         lambda i, cmap, nl, rg: (cmap[i], 0, 0)),
+            pl.BlockSpec((1, PIX, OUT2_ROWS),
+                         lambda i, cmap, nl, rg: (cmap[i], 0, 0)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        scratch_shapes=[
-            pltpu.VMEM((2, NUM_ATTRS2, CHUNK), jnp.float32),
-            pltpu.VMEM((2, NUM_ATTRS2, CHUNK), jnp.float32),
-            pltpu.VMEM((PIX, 8), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=pl.BlockSpec((NUM_ATTRS2, CHUNK),
+                               lambda i, cmap, nl, rg: (0, i)),
+        scratch_shapes=[pltpu.VMEM((PIX, 8), jnp.float32)],
     )
     return pl.pallas_call(
         functools.partial(_bwd2_kernel, tiles_x),
         out_shape=jax.ShapeDtypeStruct(attrs.shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ranges, counts, attrs, fwd_out, cot)
+    )(cmap, nlive, ranges, attrs, fwd_out, cot)
 
 
 def _tiles_to_rows(out, tiles_x, tiles_y):
@@ -468,19 +446,20 @@ def _rows_to_tiles(rows, tiles_x, tiles_y):
     return x.reshape(tiles_y * tiles_x, PIX, OUT2_ROWS)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _blend2_core(attrs, ranges, counts, tiles_x, tiles_y):
-    out = _run_fwd2(attrs, ranges, counts, tiles_x, tiles_y)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _blend2_core(attrs, ranges, cmap, nlive, tiles_x, tiles_y):
+    out = _run_fwd2(attrs, ranges, tiles_x, tiles_y)
     return _tiles_to_rows(out, tiles_x, tiles_y)
 
 
-def _blend2_core_fwd(attrs, ranges, counts, tiles_x, tiles_y):
-    out = _run_fwd2(attrs, ranges, counts, tiles_x, tiles_y)
-    return _tiles_to_rows(out, tiles_x, tiles_y), (attrs, ranges, counts, out)
+def _blend2_core_fwd(attrs, ranges, cmap, nlive, tiles_x, tiles_y):
+    out = _run_fwd2(attrs, ranges, tiles_x, tiles_y)
+    return _tiles_to_rows(out, tiles_x, tiles_y), \
+        (attrs, ranges, cmap, nlive, out)
 
 
 def _blend2_core_bwd(tiles_x, tiles_y, res, g_rows):
-    attrs, ranges, counts, fwd_out = res
+    attrs, ranges, cmap, nlive, fwd_out = res
     # zero out cotangents of non-differentiable rows (sel_pos, median normal)
     mask = np.ones((OUT2_ROWS,), np.float32)
     mask[O_SELPOS] = 0.0
@@ -490,12 +469,10 @@ def _blend2_core_bwd(tiles_x, tiles_y, res, g_rows):
     mask[O_S1] = 0.0
     mask[O_S2] = 0.0
     cot = _rows_to_tiles(g_rows * jnp.asarray(mask), tiles_x, tiles_y)
-    dattrs = _run_bwd2(attrs, ranges, counts, fwd_out, cot, tiles_x, tiles_y)
-    # mask never-written tail slots (see vanilla _blend_core_bwd)
-    ii = jax.lax.iota(jnp.int32, dattrs.shape[1])
-    dattrs = jnp.where((ii < ranges[-1])[None, :], dattrs, 0.0)
+    dattrs = _run_bwd2(attrs, ranges, cmap, nlive, fwd_out, cot,
+                       tiles_x, tiles_y)
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-    return dattrs, f0(ranges), f0(counts)
+    return dattrs, f0(ranges), f0(cmap), f0(nlive)
 
 
 _blend2_core.defvjp(_blend2_core_fwd, _blend2_core_bwd)
@@ -518,7 +495,8 @@ def pack_instance_attrs_2d(mean2d, Tmat, normal, color, opacity,
         mean2d, CA, CB, CC, Tw, opacity[:, None], color, normal,
         zeros], axis=1)
     gathered = gather_rows(per_gauss, binning.gauss_id, 21)
-    return gathered.T
+    # zero filler / non-ellipse-hit lanes -> exact alpha=0 no-ops
+    return (gathered * binning.hit[:, None]).T
 
 
 class SurfelMaps:
@@ -540,6 +518,6 @@ def blend2d_pallas(mean2d, Tmat, normal, color, opacity, binning: Binning,
     tiles_x, tiles_y = width // TILE, height // TILE
     attrs = pack_instance_attrs_2d(mean2d, Tmat, normal, color, opacity,
                                    binning)
-    rows = _blend2_core(attrs, binning.tile_ranges,
-                        binning.tile_counts, tiles_x, tiles_y)
+    rows = _blend2_core(attrs, binning.tile_ranges, binning.chunk_map,
+                        binning.n_live_chunks, tiles_x, tiles_y)
     return SurfelMaps(rows)

@@ -4,11 +4,23 @@ TPU re-design of renderCUDA fwd/bwd (diff-gaussian-rasterization/
 cuda_rasterizer/forward.cu:261-374, backward.cu:400-557). Key differences
 from the CUDA scheme, chosen for the TPU execution model:
 
-* One grid program per 16x16 tile; instances are consumed in CHUNK-sized
-  depth-ordered slices DMA'd from HBM. Per-tile ranges are CHUNK-aligned
-  (see binning.bin_gaussians), so every program owns its slices exclusively
-  — backward writes per-instance gradients race-free with plain DMA, where
-  CUDA uses atomicAdd (backward.cu:523-554). Fully deterministic.
+* Forward: one grid program per 16x16 tile, consuming CHUNK-sized
+  depth-ordered instance slices with manual double-buffered DMA — the
+  early stop can then skip the DMA and loop iterations of every chunk
+  past the tile's saturation point. Each program prefetches the NEXT
+  tile's first chunk into a head buffer that persists across grid steps,
+  hiding the per-tile cold-start DMA latency.
+* Backward: a FLAT grid over chunks with a scalar-prefetched chunk->tile
+  map driving the BlockSpecs — every chunk writes a gradient block anyway,
+  so Pallas's automatic pipeline double-buffers the whole instance stream
+  and the per-tile state lives in scratch, reset at tile boundaries.
+* Per-tile ranges are CHUNK-aligned with filler no-op instances (see
+  binning.bin_gaussians), so every chunk belongs to exactly one tile and
+  the backward writes per-instance gradients race-free — where CUDA uses
+  atomicAdd (backward.cu:523-554). Fully deterministic.
+* Instance validity needs no side channel: filler and non-ellipse-hit
+  lanes have their packed attributes multiplied by 0 (binning.hit), which
+  makes them exact alpha=0 no-ops in fwd and zero-gradient lanes in bwd.
 * Data layout is attribute-major [NUM_ATTRS, I]: instance chunks live on
   the 128-lane axis so every DMA slice is lane-aligned; in-kernel math runs
   in (PIX, CHUNK) orientation (pixels on sublanes, instances on lanes).
@@ -17,7 +29,7 @@ from the CUDA scheme, chosen for the TPU execution model:
   on the VPU; the T<1e-4 early-stop is exact because transmittance is
   monotone (the first instance whose inclusion would cross the threshold
   and everything after it get zero weight — the CUDA 'done' flag).
-* Backward recomputes the forward walk in forward order twice (total-minus-
+* Backward recomputes the forward walk in forward order (total-minus-
   prefix gives the suffix sums) instead of CUDA's back-to-front T division.
 
 The blend is wrapped in jax.custom_vjp; everything upstream (projection,
@@ -37,12 +49,15 @@ from jax.experimental.pallas import tpu as pltpu
 from gssr_tpu.ops.binning import Binning
 from gssr_tpu.ops.projection import TILE
 
-# instance attribute rows (vanilla payload), layout [NUM_ATTRS, I]
+# instance attribute rows (vanilla payload), layout [NUM_ATTRS, I].
+# 9 live rows padded to 16: manual HBM DMA slices must be sublane-tile
+# (8-row) aligned, and HBM stores the array 16-row padded either way. Only
+# the 9 live rows are computed on / scatter-added back (LIVE_ATTRS).
 ATTR_MX, ATTR_MY = 0, 1
 ATTR_CXX, ATTR_CXY, ATTR_CYY = 2, 3, 4
 ATTR_OP = 5
 ATTR_R, ATTR_G, ATTR_B = 6, 7, 8
-ATTR_VALID = 15
+LIVE_ATTRS = 9
 NUM_ATTRS = 16
 
 OUT_ROWS = 8          # 0-2 acc color, 3 final_T (contributing-only product)
@@ -105,17 +120,13 @@ def _total_prod_lanes(x):
     return _prefix_prod_excl_lanes(x)[:, -1:] * x[:, -1:]
 
 
-def _chunk_alpha(A, px, py, nvalid=None):
+def _chunk_alpha(A, px, py):
     """Per-(pixel, instance) alpha for one chunk.
 
     A: (NUM_ATTRS, CHUNK) attrs. Returns (a, extras) with a (PIX, CHUNK) —
-    zero wherever the CUDA loop would `continue`.
-
-    nvalid: scalar count of real (non-padding) lanes in this chunk
-    (tile_counts[t] - k*CHUNK; may exceed CHUNK or be <= 0). When given,
-    lane validity is lane_index < nvalid and the ATTR_VALID row is not
-    read — the binning then skips materializing the per-instance valid
-    channel entirely (bin_gaussians(need_valid=False)).
+    zero wherever the CUDA loop would `continue`. Filler / non-hit lanes
+    arrive with all-zero attrs (power 0, raw 0) and fall out of the
+    alpha >= 1/255 gate with no special casing.
     """
     r = lambda i: A[i:i + 1, :]                 # (1, CHUNK)
     dx = r(ATTR_MX) - px                        # (PIX, CHUNK)
@@ -125,185 +136,181 @@ def _chunk_alpha(A, px, py, nvalid=None):
     g_exp = jnp.exp(power)
     raw = r(ATTR_OP) * g_exp
     alpha = jnp.minimum(ALPHA_MAX, raw)
-    if nvalid is None:
-        lane_ok = r(ATTR_VALID) > 0.5
-    else:
-        lane_ok = jax.lax.broadcasted_iota(
-            jnp.int32, (1, CHUNK), 1) < nvalid
-    ok = lane_ok & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    ok = (power <= 0.0) & (alpha >= ALPHA_MIN)
     a = jnp.where(ok, alpha, 0.0)
     return a, (dx, dy, g_exp, raw, ok)
 
 
-def _dot_color(A, dacc):
-    """u[p,g] = color_g . dacc_p; dacc is (PIX, 3)."""
-    return (A[ATTR_R:ATTR_R + 1, :] * dacc[:, 0:1]
-            + A[ATTR_G:ATTR_G + 1, :] * dacc[:, 1:2]
-            + A[ATTR_B:ATTR_B + 1, :] * dacc[:, 2:3])
-
-
 # ---------------------------------------------------------------------------
 # Forward kernel
+#
+# Per-TILE grid (not flat-chunk like the backward): the T<1e-4 early stop
+# lets the forward skip the DMA *and* the loop iterations of every chunk
+# past a tile's saturation point — a static flat grid would stream them all
+# (measured +11ms on the bench workload). The per-tile cold-start DMA is
+# hidden by a cross-program prefetch: each program issues the DMA for the
+# NEXT tile's first chunk into a dedicated head buffer as soon as its own
+# first chunk has landed, so the next program's wait is a no-op. Scratch
+# buffers and semaphores persist across grid programs, which is what makes
+# the handoff possible.
 # ---------------------------------------------------------------------------
 
-def _in_copy_factory(attrs_ref, abuf, sem, start):
-    """Double-buffered chunk fetch: chunk k lands in VMEM slot k % 2."""
+def _fwd_kernel(tiles_x, num_tiles, ranges_ref, attrs_ref, out_ref,
+                abuf, hbuf, state_ref, sem, hsem):
+    t = pl.program_id(0)
+    start = pl.multiple_of(ranges_ref[t], CHUNK)
+    end = ranges_ref[t + 1]
+    total = ranges_ref[num_tiles]
+    nchunks = (end - start) // CHUNK
+
+    px, py = _pixel_cols(t, tiles_x)
+    out_ref[0] = jnp.zeros((PIX, OUT_ROWS), jnp.float32)
+    out_ref[0, :, 3:4] = jnp.ones((PIX, 1), jnp.float32)
+    # state cols: 0 -> D (all-lane transmittance), 1 -> Tb (contributing-
+    # only product, the CUDA final_T)
+    state_ref[:] = jnp.ones((PIX, 2), jnp.float32)
+
     def in_copy(k, slot):
         return pltpu.make_async_copy(
             attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
             abuf.at[slot], sem.at[slot])
-    return in_copy
 
-
-def _fwd_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, out_ref,
-                abuf, acc_ref, state_ref, sem):
-    t = pl.program_id(0)
-    start = pl.multiple_of(ranges_ref[t], CHUNK)
-    end = ranges_ref[t + 1]
-    nchunks = (end - start) // CHUNK
-    count = counts_ref[t]                 # real (unpadded) instance count
-
-    px, py = _pixel_cols(t, tiles_x)
-    acc_ref[:] = jnp.zeros((PIX, OUT_ROWS), jnp.float32)
-    # state cols: 0 -> D (all-valid transmittance), 1 -> Tb (blended-only)
-    state_ref[:] = jnp.ones((PIX, 2), jnp.float32)
-    in_copy = _in_copy_factory(attrs_ref, abuf, sem, start)
-
-    @pl.when(nchunks > 0)
-    def _():
-        in_copy(0, 0).start()
-
-    def body(k, pending):
-        # pending == 1 iff the DMA for chunk k was issued; once the early
-        # stop trips, the in-flight fetch is drained (wait) and no further
-        # DMAs are issued, so no semaphore leaks across grid steps.
-        slot = jax.lax.rem(k, 2)
-
-        @pl.when(pending == 1)
-        def _():
-            in_copy(k, slot).wait()
-
-        alive = jnp.max(state_ref[:, 0]) >= T_EPS
-        do = (pending == 1) & alive
-        fetch_next = do & (k + 1 < nchunks)
-
-        @pl.when(fetch_next)
-        def _():
-            in_copy(k + 1, 1 - slot).start()   # overlaps compute of chunk k
-
-        @pl.when(do)
-        def _():
-            A = abuf[slot]
-            a, _extras = _chunk_alpha(A, px, py, count - k * CHUNK)
-            one_m = 1.0 - a
-            pfx = _prefix_prod_excl_lanes(one_m)
-            d0 = state_ref[:, 0:1]
-            d_before = d0 * pfx
-            d_inc = d_before * one_m
-            contrib = (a > 0.0) & (d_inc >= T_EPS)
-            w = jnp.where(contrib, a * d_before, 0.0)      # (PIX, CHUNK)
-            # color accumulation as one (PIX,CHUNK)@(CHUNK,3) MXU matmul
-            # instead of 3 lane-reductions; HIGHEST keeps f32 accuracy
-            acc_ref[:, 0:3] += jax.lax.dot_general(
-                w, A[ATTR_R:ATTR_B + 1, :], (((1,), (1,)), ((), ())),
-                precision=jax.lax.Precision.HIGHEST,
-                preferred_element_type=jnp.float32)
-            # blended-only transmittance update WITHOUT a second prefix
-            # product: within a chunk every a>0 lane up to the last
-            # contributing lane c contributes (d_inc = d0*pfx[i+1] is
-            # monotone non-increasing), so prod_{contrib}(1-a) =
-            # pfx[c]*one_m[c] = d_inc[c]/d0 = min_{contrib}(d_inc)/d0.
-            # When some lane contributes, d_inc[c] >= T_EPS forces d0 > 0.
-            mind = jnp.min(jnp.where(contrib, d_inc, 3.0e38), axis=1,
-                           keepdims=True)
-            state_ref[:, 0:1] = d0 * (pfx[:, -1:] * one_m[:, -1:])
-            state_ref[:, 1:2] = state_ref[:, 1:2] * jnp.where(
-                mind < 3.0e38, mind / jnp.maximum(d0, 1e-30), 1.0)
-
-        return jnp.where(fetch_next, jnp.int32(1), jnp.int32(0))
-
-    jax.lax.fori_loop(0, nchunks, body, jnp.int32(1))
-    acc_ref[:, 3:4] = state_ref[:, 1:2]
-    out_ref[0, :, :] = acc_ref[:, :]
-
-
-# ---------------------------------------------------------------------------
-# Backward kernel (two forward-order passes)
-# ---------------------------------------------------------------------------
-
-def _bwd_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, fwd_ref, cot_ref,
-                dattr_ref, abuf, dbuf, state_ref, in_sem, out_sem):
-    t = pl.program_id(0)
-    start = pl.multiple_of(ranges_ref[t], CHUNK)
-    end = ranges_ref[t + 1]
-    nchunks = (end - start) // CHUNK
-    count = counts_ref[t]                 # real (unpadded) instance count
-
-    px, py = _pixel_cols(t, tiles_x)
-    dacc = cot_ref[0, :, 0:3]                 # (PIX, 3)
-    dT = cot_ref[0, :, 3:4]                   # (PIX, 1)
-    final_T = fwd_ref[0, :, 3:4]              # (PIX, 1)
-
-    # Tile-LOCAL pixel polynomial basis for the moment matmul (see pass2).
-    # Local coords keep |mean - origin| on the same scale as dx, so the
-    # binomial expansions of sum(dpower*dx^a*dy^b) below never cancel
-    # catastrophically (global px^2 ~ 2.6e6 would eat ~3 f32 digits).
-    ox = px[0:1, :]                           # tile origin (scalar-ish)
-    oy = py[0:1, :]
-    pxl = px - ox
-    pyl = py - oy
-    poly = jnp.concatenate(
-        [jnp.ones_like(pxl), pxl, pyl, pxl * pxl, pxl * pyl, pyl * pyl],
-        axis=1)                               # (PIX, 6)
-
-    in_copy = _in_copy_factory(attrs_ref, abuf, in_sem, start)
-
-    # total = sum_i w_i (color_i . dacc) = dacc . acc_rgb: the per-pixel
-    # total the CUDA backward rebuilds in a first pass is just the forward
-    # RGB accumulation contracted with its cotangent — read it instead of
-    # re-walking the instance list (saves one full pass over attrs).
-    total = (fwd_ref[0, :, 0:1] * dacc[:, 0:1]
-             + fwd_ref[0, :, 1:2] * dacc[:, 1:2]
-             + fwd_ref[0, :, 2:3] * dacc[:, 2:3])       # (PIX, 1)
-
-    # ---- single pass: per-instance gradients ----------------------------
-    # state cols: 0 -> D, 2 -> running prefix of w*u
-    state_ref[:] = jnp.zeros((PIX, 4), jnp.float32)
-    state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
-    bgterm = final_T * dT                                  # (PIX, 1)
-
-    def out_copy(k, slot):
+    def head_copy(offset):
         return pltpu.make_async_copy(
-            dbuf.at[slot], dattr_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
-            out_sem.at[slot])
+            attrs_ref.at[:, pl.ds(pl.multiple_of(offset, CHUNK), CHUNK)],
+            hbuf, hsem)
+
+    def chunk_step(A, k):
+        a, _extras = _chunk_alpha(A, px, py)
+        one_m = 1.0 - a
+        pfx = _prefix_prod_excl_lanes(one_m)
+        d0 = state_ref[:, 0:1]
+        d_before = d0 * pfx
+        d_inc = d_before * one_m
+        contrib = (a > 0.0) & (d_inc >= T_EPS)
+        w = jnp.where(contrib, a * d_before, 0.0)          # (PIX, CHUNK)
+        # color accumulation as one (PIX,CHUNK)@(CHUNK,3) MXU matmul
+        # instead of 3 lane-reductions; HIGHEST keeps f32 accuracy
+        out_ref[0, :, 0:3] += jax.lax.dot_general(
+            w, A[ATTR_R:ATTR_B + 1, :], (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
+        # blended-only transmittance update WITHOUT a second prefix
+        # product: within a chunk every a>0 lane up to the last
+        # contributing lane c contributes (d_inc = d0*pfx[i+1] is monotone
+        # non-increasing), so prod_{contrib}(1-a) = pfx[c]*one_m[c] =
+        # d_inc[c]/d0 = min_{contrib}(d_inc)/d0. When some lane
+        # contributes, d_inc[c] >= T_EPS forces d0 > 0.
+        mind = jnp.min(jnp.where(contrib, d_inc, 3.0e38), axis=1,
+                       keepdims=True)
+        state_ref[:, 0:1] = d0 * (pfx[:, -1:] * one_m[:, -1:])
+        state_ref[:, 1:2] = state_ref[:, 1:2] * jnp.where(
+            mind < 3.0e38, mind / jnp.maximum(d0, 1e-30), 1.0)
+        out_ref[0, :, 3:4] = state_ref[:, 1:2]
 
     @pl.when(nchunks > 0)
     def _():
-        in_copy(0, 0).start()
-
-    def pass2(k, _):
-        # pass 2 runs every chunk (dead chunks still write zero gradients),
-        # so both directions double-buffer unconditionally; the slot-k
-        # output DMA is drained right before the slot is rewritten (k+2)
-        # and after the loop.
-        slot = jax.lax.rem(k, 2)
-        in_copy(k, slot).wait()
-
-        @pl.when(k + 1 < nchunks)
+        # chunk 0 arrives via the head buffer. The first nonempty tile
+        # (unique: start == 0 with nchunks > 0) cold-starts the chain; every
+        # other nonempty tile's chunk 0 was prefetched by its predecessor.
+        @pl.when(start == 0)
         def _():
-            in_copy(k + 1, 1 - slot).start()
+            head_copy(0).start()
+        head_copy(start).wait()
 
-        @pl.when(k >= 2)
+        @pl.when(nchunks > 1)
         def _():
-            out_copy(k - 2, slot).wait()
+            in_copy(1, 1).start()
 
-        alive = jnp.max(state_ref[:, 0]) >= T_EPS
+        chunk_step(hbuf[:, :], 0)
 
-        @pl.when(alive)
+        # hand the head buffer to the next nonempty tile (owner of the next
+        # global chunk at `end`) — overlaps the rest of this tile's loop
+        @pl.when(end < total)
         def _():
-            A = abuf[slot]
-            a, (dx, dy, g_exp, raw, ok) = _chunk_alpha(
-                A, px, py, count - k * CHUNK)
+            head_copy(end).start()
+
+        def body(k, pending):
+            # pending == 1 iff the DMA for chunk k was issued; once the
+            # early stop trips, the in-flight fetch is drained (wait) and
+            # no further DMAs are issued, so no semaphore leaks across
+            # grid steps.
+            slot = jax.lax.rem(k, 2)
+
+            @pl.when(pending == 1)
+            def _():
+                in_copy(k, slot).wait()
+
+            alive = jnp.max(state_ref[:, 0]) >= T_EPS
+            do = (pending == 1) & alive
+            fetch_next = do & (k + 1 < nchunks)
+
+            @pl.when(fetch_next)
+            def _():
+                in_copy(k + 1, 1 - slot).start()   # overlaps compute of k
+
+            @pl.when(do)
+            def _():
+                chunk_step(abuf[slot], k)
+
+            return jnp.where(fetch_next, jnp.int32(1), jnp.int32(0))
+
+        jax.lax.fori_loop(1, nchunks, body, jnp.int32(nchunks > 1))
+
+
+# ---------------------------------------------------------------------------
+# Backward kernel (forward-order re-walk)
+# ---------------------------------------------------------------------------
+
+def _bwd_kernel(tiles_x, cmap_ref, nlive_ref, attrs_ref, fwd_ref, cot_ref,
+                dattr_ref, state_ref):
+    i = pl.program_id(0)
+    t = cmap_ref[i]
+    live = i < nlive_ref[0]
+    # every chunk writes its gradient block (zeros when dead), so the
+    # output needs no post-hoc validity masking
+    dattr_ref[:, :] = jnp.zeros((NUM_ATTRS, CHUNK), jnp.float32)
+
+    @pl.when(live)
+    def _():
+        first = jnp.logical_or(i == 0, cmap_ref[jnp.maximum(i - 1, 0)] != t)
+
+        @pl.when(first)
+        def _():
+            # state cols: 0 -> D, 2 -> running prefix of w*u
+            state_ref[:] = jnp.zeros((PIX, 4), jnp.float32)
+            state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
+
+        @pl.when(jnp.max(state_ref[:, 0]) >= T_EPS)
+        def _():
+            px, py = _pixel_cols(t, tiles_x)
+            dacc = cot_ref[0, :, 0:3]                 # (PIX, 3)
+            dT = cot_ref[0, :, 3:4]                   # (PIX, 1)
+            final_T = fwd_ref[0, :, 3:4]              # (PIX, 1)
+            bgterm = final_T * dT
+            # total = sum_i w_i (color_i . dacc) = dacc . acc_rgb: the
+            # per-pixel total the CUDA backward rebuilds in a first pass is
+            # the forward RGB accumulation contracted with its cotangent —
+            # read it instead of re-walking the instance list.
+            total = (fwd_ref[0, :, 0:1] * dacc[:, 0:1]
+                     + fwd_ref[0, :, 1:2] * dacc[:, 1:2]
+                     + fwd_ref[0, :, 2:3] * dacc[:, 2:3])       # (PIX, 1)
+
+            # Tile-LOCAL pixel polynomial basis for the moment matmul.
+            # Local coords keep |mean - origin| on the same scale as dx, so
+            # the binomial expansions of sum(dpower*dx^a*dy^b) below never
+            # cancel catastrophically (global px^2 ~ 2.6e6 would eat ~3
+            # f32 digits).
+            ox = px[0:1, :]                           # tile origin
+            oy = py[0:1, :]
+            pxl = px - ox
+            pyl = py - oy
+            poly = jnp.concatenate(
+                [jnp.ones_like(pxl), pxl, pyl, pxl * pxl, pxl * pyl,
+                 pyl * pyl], axis=1)                  # (PIX, 6)
+
+            A = attrs_ref[:, :]
+            a, (dx, dy, g_exp, raw, ok) = _chunk_alpha(A, px, py)
             one_m = 1.0 - a
             pfx = _prefix_prod_excl_lanes(one_m)
             d_before = state_ref[:, 0:1] * pfx
@@ -338,7 +345,7 @@ def _bwd_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, fwd_ref, cot_ref,
                 preferred_element_type=jnp.float32)        # (6, CHUNK)
             m0, m_x, m_y = M[0:1, :], M[1:2, :], M[2:3, :]
             mxx, mxy, myy = M[3:4, :], M[4:5, :], M[5:6, :]
-            r = lambda i: A[i:i + 1, :]
+            r = lambda j: A[j:j + 1, :]
             cxx, cxy, cyy = r(ATTR_CXX), r(ATTR_CXY), r(ATTR_CYY)
             gx = r(ATTR_MX) - ox               # mean in the tile-local frame
             gy = r(ATTR_MY) - oy
@@ -360,87 +367,65 @@ def _bwd_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, fwd_ref, cot_ref,
                 dacc, w, (((0,), (0,)), ((), ())),
                 precision=jax.lax.Precision.HIGHEST,
                 preferred_element_type=jnp.float32)        # (3, CHUNK)
-            dbuf[slot] = jnp.concatenate(
-                rows + [crows,
-                        jnp.zeros((NUM_ATTRS - 9, CHUNK), jnp.float32)],
-                axis=0)
+            dattr_ref[:, :] = jnp.concatenate(
+                rows + [crows, jnp.zeros((NUM_ATTRS - LIVE_ATTRS, CHUNK),
+                                         jnp.float32)], axis=0)
             state_ref[:, 2:3] = prefix_inc[:, -1:]
-            state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:] * one_m[:, -1:])
-
-        @pl.when(jnp.logical_not(alive))
-        def _():
-            dbuf[slot] = jnp.zeros((NUM_ATTRS, CHUNK), jnp.float32)
-
-        out_copy(k, slot).start()
-        return 0
-
-    jax.lax.fori_loop(0, nchunks, pass2, 0)
-    # drain trailing output DMAs
-    @pl.when(nchunks >= 2)
-    def _():
-        out_copy(nchunks - 2, jax.lax.rem(nchunks - 2, 2)).wait()
-
-    @pl.when(nchunks >= 1)
-    def _():
-        out_copy(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).wait()
+            state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:]
+                                                     * one_m[:, -1:])
 
 
 # ---------------------------------------------------------------------------
 # pallas_call wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-def _run_fwd(attrs, ranges, counts, tiles_x: int, tiles_y: int):
+def _run_fwd(attrs, ranges, tiles_x: int, tiles_y: int):
     num_tiles = tiles_x * tiles_y
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=1,
         grid=(num_tiles,),
         in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
         out_specs=pl.BlockSpec((1, PIX, OUT_ROWS), lambda i, *_: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
             pltpu.VMEM((2, NUM_ATTRS, CHUNK), jnp.float32),
-            pltpu.VMEM((PIX, OUT_ROWS), jnp.float32),
+            pltpu.VMEM((NUM_ATTRS, CHUNK), jnp.float32),
             pltpu.VMEM((PIX, 2), jnp.float32),
             pltpu.SemaphoreType.DMA((2,)),
+            pltpu.SemaphoreType.DMA,
         ],
     )
     return pl.pallas_call(
-        functools.partial(_fwd_kernel, tiles_x),
+        functools.partial(_fwd_kernel, tiles_x, num_tiles),
         out_shape=jax.ShapeDtypeStruct((num_tiles, PIX, OUT_ROWS),
                                        jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-    )(ranges, counts, attrs)
+    )(ranges, attrs)
 
 
-def _run_bwd(attrs, ranges, counts, fwd_out, cot, tiles_x: int, tiles_y: int):
-    num_tiles = tiles_x * tiles_y
+def _run_bwd(attrs, cmap, nlive, fwd_out, cot, tiles_x: int, tiles_y: int):
+    n_chunks = attrs.shape[1] // CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, PIX, OUT_ROWS), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX, OUT_ROWS), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NUM_ATTRS, CHUNK), lambda i, cmap, nl: (0, i)),
+            pl.BlockSpec((1, PIX, OUT_ROWS),
+                         lambda i, cmap, nl: (cmap[i], 0, 0)),
+            pl.BlockSpec((1, PIX, OUT_ROWS),
+                         lambda i, cmap, nl: (cmap[i], 0, 0)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        scratch_shapes=[
-            pltpu.VMEM((2, NUM_ATTRS, CHUNK), jnp.float32),
-            pltpu.VMEM((2, NUM_ATTRS, CHUNK), jnp.float32),
-            pltpu.VMEM((PIX, 4), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=pl.BlockSpec((NUM_ATTRS, CHUNK),
+                               lambda i, cmap, nl: (0, i)),
+        scratch_shapes=[pltpu.VMEM((PIX, 4), jnp.float32)],
     )
     return pl.pallas_call(
         functools.partial(_bwd_kernel, tiles_x),
         out_shape=jax.ShapeDtypeStruct(attrs.shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ranges, counts, attrs, fwd_out, cot)
+    )(cmap, nlive, attrs, fwd_out, cot)
 
 
 def _tiles_to_image(out, tiles_x, tiles_y, rows):
@@ -458,37 +443,30 @@ def _image_to_tiles(img_rows, tiles_x, tiles_y):
     return x.reshape(tiles_y * tiles_x, PIX, OUT_ROWS)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _blend_core(attrs, ranges, counts, tiles_x, tiles_y):
-    out = _run_fwd(attrs, ranges, counts, tiles_x, tiles_y)
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
+def _blend_core(attrs, ranges, cmap, nlive, tiles_x, tiles_y):
+    out = _run_fwd(attrs, ranges, tiles_x, tiles_y)
     img = _tiles_to_image(out, tiles_x, tiles_y, 4)
     return img[..., :3], img[..., 3]
 
 
-def _blend_core_fwd(attrs, ranges, counts, tiles_x, tiles_y):
-    out = _run_fwd(attrs, ranges, counts, tiles_x, tiles_y)
+def _blend_core_fwd(attrs, ranges, cmap, nlive, tiles_x, tiles_y):
+    out = _run_fwd(attrs, ranges, tiles_x, tiles_y)
     img = _tiles_to_image(out, tiles_x, tiles_y, 4)
-    return (img[..., :3], img[..., 3]), (attrs, ranges, counts, out)
+    return (img[..., :3], img[..., 3]), (attrs, ranges, cmap, nlive, out)
 
 
 def _blend_core_bwd(tiles_x, tiles_y, res, cotangents):
-    attrs, ranges, counts, fwd_out = res
+    attrs, ranges, cmap, nlive, fwd_out = res
     d_img, d_T = cotangents
     H, W = d_img.shape[:2]
     cot_rows = jnp.concatenate(
         [d_img, d_T[..., None],
          jnp.zeros((H, W, OUT_ROWS - 4), jnp.float32)], axis=-1)
     cot = _image_to_tiles(cot_rows, tiles_x, tiles_y)
-    dattrs = _run_bwd(attrs, ranges, counts, fwd_out, cot, tiles_x, tiles_y)
-    # instance slots past the last tile range are never written by the
-    # kernel (uninitialized memory); mask them before the scatter-add back
-    # to gaussians. In-range padding lanes get exact zeros from the kernel
-    # (alpha masked by lane < count), so this index compare fully replaces
-    # the old ATTR_VALID-row mask.
-    ii = jax.lax.iota(jnp.int32, dattrs.shape[1])
-    dattrs = jnp.where((ii < ranges[-1])[None, :], dattrs, 0.0)
+    dattrs = _run_bwd(attrs, cmap, nlive, fwd_out, cot, tiles_x, tiles_y)
     f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-    return dattrs, f0(ranges), f0(counts)
+    return dattrs, f0(ranges), f0(cmap), f0(nlive)
 
 
 _blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
@@ -497,9 +475,9 @@ _blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def gather_rows(per_gauss, gauss_id, n_used):
     """per_gauss[gauss_id] with a VJP that scatter-adds only the first
-    n_used columns (the rest are structurally zero-gradient padding rows;
-    the instance-count-sized scatter-add is a top bwd cost, so narrowing
-    its width matters)."""
+    n_used columns (any remaining columns are structurally zero-gradient
+    padding rows; the instance-count-sized scatter-add is a top bwd cost,
+    so narrowing its width matters)."""
     return per_gauss[gauss_id]
 
 
@@ -511,69 +489,37 @@ def _gather_rows_bwd(n_used, res, dg):
     n, gauss_id = res
     dpg = jnp.zeros((n, n_used), dg.dtype).at[gauss_id].add(
         dg[:, :n_used], mode="drop")
-    dpg = jnp.concatenate(
-        [dpg, jnp.zeros((n, dg.shape[1] - n_used), dg.dtype)], axis=1)
+    if dg.shape[1] > n_used:
+        dpg = jnp.concatenate(
+            [dpg, jnp.zeros((n, dg.shape[1] - n_used), dg.dtype)], axis=1)
     return dpg, np.zeros(gauss_id.shape, jax.dtypes.float0)
 
 
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
-def gather_rows_segred(per_gauss, gauss_id, gid_reduce, seg_bounds, n_used):
-    """per_gauss[gauss_id] whose VJP is the sorted segment reduction
-    (binning.segment_reduce_sorted) instead of a scatter-add: ~25ms vs
-    ~43ms for 9 columns at 2.4M instances on v5e."""
-    return per_gauss[gauss_id]
-
-
-def _grs_fwd(per_gauss, gauss_id, gid_reduce, seg_bounds, n_used):
-    return per_gauss[gauss_id], (per_gauss.shape, gauss_id, gid_reduce,
-                                 seg_bounds)
-
-
-def _grs_bwd(n_used, res, dg):
-    from gssr_tpu.ops.binning import segment_reduce_sorted
-    (n, width), gauss_id, gid_reduce, seg_bounds = res
-    dpg = segment_reduce_sorted(dg[:, :n_used], gid_reduce, seg_bounds)
-    dpg = jnp.concatenate(
-        [dpg, jnp.zeros((n, width - n_used), dg.dtype)], axis=1)
-    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
-    return dpg, f0(gauss_id), f0(gid_reduce), f0(seg_bounds)
-
-
-gather_rows_segred.defvjp(_grs_fwd, _grs_bwd)
-
-
 def pack_instance_attrs(mean2d, conic, color, opacity, binning: Binning):
     """Gather per-gaussian attrs into the sorted-instance layout
     [NUM_ATTRS, I]. One packed [N, A] gather (TPU random gathers are slow;
     a row gather amortizes the index cost over all attrs); its VJP is the
-    per-gaussian reduction of instance gradients over the 9 differentiable
-    rows — the sorted segment reduction when binning carries seg_bounds,
-    else a scatter-add."""
+    scatter-add of instance gradients back to gaussians. The per-instance
+    hit multiply zeroes filler / non-ellipse-hit lanes (exact no-ops) and
+    symmetrically zeroes their gradients on the way back."""
     n = mean2d.shape[0]
-    zeros = jnp.zeros((n, NUM_ATTRS - 9), jnp.float32)
     per_gauss = jnp.concatenate([
-        mean2d, conic, opacity[:, None], color, zeros], axis=1)  # [N, 16]
-    # default OFF: profiling shows XLA already lowers the scatter-add as
-    # sort + segmented reduce on TPU (sort.13 + fusion in the trace), so
-    # the explicit formulation saves nothing in situ (34ms vs 34.6ms
-    # isolated) and its extra residuals cost ~15ms in the pipeline
-    if binning.seg_bounds is not None and \
-            os.environ.get("GSSR_TPU_SEGRED", "0") == "1":
-        gathered = gather_rows_segred(per_gauss, binning.gauss_id,
-                                      binning.gid_reduce,
-                                      binning.seg_bounds, 9)     # [I, A]
-    else:
-        gathered = gather_rows(per_gauss, binning.gauss_id, 9)   # [I, A]
-    attrs = gathered.T
-    if binning.valid is not None:
-        # legacy valid channel (need_valid=True binning); the fast path
-        # leaves the ATTR_VALID row unused — kernels mask lanes by
-        # tile_counts instead, skipping this full [16, I] rewrite
-        attrs = attrs.at[ATTR_VALID].set(binning.valid.astype(jnp.float32))
-    return attrs
+        mean2d, conic, opacity[:, None], color,
+        jnp.zeros((n, NUM_ATTRS - LIVE_ATTRS), jnp.float32)], axis=1)
+    gathered = gather_rows(per_gauss, binning.gauss_id, LIVE_ATTRS)
+    return (gathered * binning.hit[:, None]).T                  # [16, I]
+
+
+def tile_nonempty_mask(tile_counts, tiles_x: int, tiles_y: int):
+    """[H, W] bool — pixels of tiles with at least one instance. Used by
+    the flat-chunk-grid payloads (pgsr) whose forward never visits empty
+    tiles."""
+    ne = (tile_counts > 0).reshape(tiles_y, 1, tiles_x, 1)
+    ne = jnp.broadcast_to(ne, (tiles_y, TILE, tiles_x, TILE))
+    return ne.reshape(tiles_y * TILE, tiles_x * TILE)
 
 
 def blend_pallas(mean2d, conic, color, opacity, binning: Binning,
@@ -586,6 +532,7 @@ def blend_pallas(mean2d, conic, color, opacity, binning: Binning,
     tiles_x, tiles_y = width // TILE, height // TILE
     attrs = pack_instance_attrs(mean2d, conic, color, opacity, binning)
     acc, final_T = _blend_core(attrs, binning.tile_ranges,
-                               binning.tile_counts, tiles_x, tiles_y)
+                               binning.chunk_map, binning.n_live_chunks,
+                               tiles_x, tiles_y)
     image = acc + final_T[..., None] * bg
     return image, final_T

@@ -64,10 +64,10 @@ OUTP_ROWS = 8
 OBS_ROWS = 8      # observe output sublane padding; row 0 used
 
 
-def _chunk_alpha_p(A, px, py, lane_ok):
-    """lane_ok (1, CHUNK): lane < tile's real instance count — validity
-    comes from the scalar-prefetched counts, freeing the attr row that the
-    other payloads spend on a valid flag (row 13 carries observe instead).
+def _chunk_alpha_p(A, px, py):
+    """Filler / non-hit lanes arrive with all-zero attrs (pack multiplies
+    binning.hit): power 0, raw 0 fails the alpha >= 1/255 gate, so they are
+    exact no-op lanes with no validity side channel.
     """
     r = lambda i: A[i:i + 1, :]
     dx = r(P_MX) - px
@@ -77,58 +77,34 @@ def _chunk_alpha_p(A, px, py, lane_ok):
     g_exp = jnp.exp(power)
     raw = r(P_OP) * g_exp
     alpha = jnp.minimum(ALPHA_MAX, raw)
-    ok = lane_ok & (power <= 0.0) & (alpha >= ALPHA_MIN)
+    ok = (power <= 0.0) & (alpha >= ALPHA_MIN)
     a = jnp.where(ok, alpha, 0.0)
     return a, (dx, dy, g_exp, raw, ok)
 
 
-def _fwdp_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, out_ref,
-                 obs_ref, abuf, obuf, acc_ref, state_ref, sem, obs_sem):
-    t = pl.program_id(0)
-    start = pl.multiple_of(ranges_ref[t], CHUNK)
-    end = ranges_ref[t + 1]
-    nchunks = (end - start) // CHUNK
-    count = counts_ref[t]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
+def _fwdp_kernel(tiles_x, cmap_ref, nlive_ref, attrs_ref, out_ref,
+                 obs_ref, state_ref):
+    i = pl.program_id(0)
+    t = cmap_ref[i]
+    live = i < nlive_ref[0]
+    # every chunk writes its observe slice (zeros when dead)
+    obs_ref[:, :] = jnp.zeros((OBS_ROWS, CHUNK), jnp.float32)
 
-    px, py = _pixel_cols(t, tiles_x)
-    acc_ref[:] = jnp.zeros((PIX, OUTP_ROWS), jnp.float32)
-    state_ref[:] = jnp.ones((PIX, 2), jnp.float32)
-
-    def in_copy(k, slot):
-        return pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
-            abuf.at[slot], sem.at[slot])
-
-    def obs_copy(k, slot):
-        return pltpu.make_async_copy(
-            obuf.at[slot], obs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
-            obs_sem.at[slot])
-
-    @pl.when(nchunks > 0)
+    @pl.when(live)
     def _():
-        in_copy(0, 0).start()
+        first = jnp.logical_or(i == 0, cmap_ref[jnp.maximum(i - 1, 0)] != t)
 
-    def body(k, _):
-        # every chunk writes its observe slice, so both directions run
-        # unconditionally with double buffering (see vanilla bwd pass 2)
-        slot = jax.lax.rem(k, 2)
-        in_copy(k, slot).wait()
-
-        @pl.when(k + 1 < nchunks)
+        @pl.when(first)
         def _():
-            in_copy(k + 1, 1 - slot).start()
+            out_ref[0] = jnp.zeros((PIX, OUTP_ROWS), jnp.float32)
+            out_ref[0, :, PO_T:PO_T + 1] = jnp.ones((PIX, 1), jnp.float32)
+            state_ref[:] = jnp.ones((PIX, 2), jnp.float32)
 
-        @pl.when(k >= 2)
+        @pl.when(jnp.max(state_ref[:, 0]) >= T_EPS)
         def _():
-            obs_copy(k - 2, slot).wait()
-
-        alive = jnp.max(state_ref[:, 0]) >= T_EPS
-
-        @pl.when(alive)
-        def _():
-            A = abuf[slot]
-            a, _extras = _chunk_alpha_p(A, px, py, lane + k * CHUNK < count)
+            px, py = _pixel_cols(t, tiles_x)
+            A = attrs_ref[:, :]
+            a, _extras = _chunk_alpha_p(A, px, py)
             one_m = 1.0 - a
             pfx = _prefix_prod_excl_lanes(one_m)
             d_before = state_ref[:, 0:1] * pfx
@@ -136,110 +112,69 @@ def _fwdp_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, out_ref,
             contrib = (a > 0.0) & (d_inc >= T_EPS)
             w = jnp.where(contrib, a * d_before, 0.0)
             for c in range(3):
-                acc_ref[:, PO_RGB + c:PO_RGB + c + 1] += jnp.sum(
+                out_ref[0, :, PO_RGB + c:PO_RGB + c + 1] += jnp.sum(
                     w * A[P_RGB + c:P_RGB + c + 1, :], axis=1, keepdims=True)
-                acc_ref[:, PO_NRM + c:PO_NRM + c + 1] += jnp.sum(
+                out_ref[0, :, PO_NRM + c:PO_NRM + c + 1] += jnp.sum(
                     w * A[P_NRM + c:P_NRM + c + 1, :], axis=1, keepdims=True)
-            acc_ref[:, PO_DIST:PO_DIST + 1] += jnp.sum(
+            out_ref[0, :, PO_DIST:PO_DIST + 1] += jnp.sum(
                 w * A[P_DIST:P_DIST + 1, :], axis=1, keepdims=True)
             # out_observe: pixels whose blend-T before this gaussian > 0.5
-            obuf[slot] = jnp.concatenate([
-                jnp.sum(jnp.where(contrib & (d_before > 0.5), 1.0, 0.0),
-                        axis=0, keepdims=True),
-                jnp.zeros((OBS_ROWS - 1, CHUNK), jnp.float32)], axis=0)
-            state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:] * one_m[:, -1:])
+            obs_ref[0:1, :] = jnp.sum(
+                jnp.where(contrib & (d_before > 0.5), 1.0, 0.0),
+                axis=0, keepdims=True)
+            state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:]
+                                                     * one_m[:, -1:])
             state_ref[:, 1:2] = state_ref[:, 1:2] * _total_prod_lanes(
                 jnp.where(contrib, one_m, 1.0))
+            out_ref[0, :, PO_T:PO_T + 1] = state_ref[:, 1:2]
 
-        @pl.when(jnp.logical_not(alive))
-        def _():
-            obuf[slot] = jnp.zeros((OBS_ROWS, CHUNK), jnp.float32)
 
-        obs_copy(k, slot).start()
-        return 0
+def _bwdp_kernel(tiles_x, cmap_ref, nlive_ref, attrs_ref, fwd_ref,
+                 cot_ref, dattr_ref, state_ref):
+    i = pl.program_id(0)
+    t = cmap_ref[i]
+    live = i < nlive_ref[0]
+    dattr_ref[:, :] = jnp.zeros((NUM_ATTRS_P, CHUNK), jnp.float32)
 
-    jax.lax.fori_loop(0, nchunks, body, 0)
-
-    @pl.when(nchunks >= 2)
+    @pl.when(live)
     def _():
-        obs_copy(nchunks - 2, jax.lax.rem(nchunks - 2, 2)).wait()
+        first = jnp.logical_or(i == 0, cmap_ref[jnp.maximum(i - 1, 0)] != t)
 
-    @pl.when(nchunks >= 1)
-    def _():
-        obs_copy(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).wait()
-
-    acc_ref[:, PO_T:PO_T + 1] = state_ref[:, 1:2]
-    out_ref[0, :, :] = acc_ref[:, :]
-
-
-def _bwdp_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, fwd_ref,
-                 cot_ref, dattr_ref, abuf, dbuf, state_ref, in_sem, out_sem):
-    t = pl.program_id(0)
-    start = pl.multiple_of(ranges_ref[t], CHUNK)
-    end = ranges_ref[t + 1]
-    nchunks = (end - start) // CHUNK
-    count = counts_ref[t]
-    lane = jax.lax.broadcasted_iota(jnp.int32, (1, CHUNK), 1)
-
-    px, py = _pixel_cols(t, tiles_x)
-    dC = cot_ref[0, :, PO_RGB:PO_RGB + 3]       # (PIX, 3)
-    dT = cot_ref[0, :, PO_T:PO_T + 1]
-    dN = cot_ref[0, :, PO_NRM:PO_NRM + 3]
-    dDist = cot_ref[0, :, PO_DIST:PO_DIST + 1]
-    final_T = fwd_ref[0, :, PO_T:PO_T + 1]
-
-    def u_of(A):
-        u = A[P_DIST:P_DIST + 1, :] * dDist
-        for c in range(3):
-            u += A[P_RGB + c:P_RGB + c + 1, :] * dC[:, c:c + 1]
-            u += A[P_NRM + c:P_NRM + c + 1, :] * dN[:, c:c + 1]
-        return u
-
-    # total = sum_i w_i u_i: every u channel (rgb, normal, distance) is
-    # linear in w, so the pass-1 walk the CUDA backward does reduces to
-    # contracting the forward accumulators with their cotangents.
-    total = dDist * fwd_ref[0, :, PO_DIST:PO_DIST + 1]
-    for _c in range(3):
-        total += dC[:, _c:_c + 1] * fwd_ref[0, :, PO_RGB + _c:PO_RGB + _c + 1]
-        total += dN[:, _c:_c + 1] * fwd_ref[0, :, PO_NRM + _c:PO_NRM + _c + 1]
-
-    state_ref[:] = jnp.zeros((PIX, 4), jnp.float32)
-    state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
-    bgterm = final_T * dT
-
-    def in_copy(k, slot):
-        return pltpu.make_async_copy(
-            attrs_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
-            abuf.at[slot], in_sem.at[slot])
-
-    def out_copy(k, slot):
-        return pltpu.make_async_copy(
-            dbuf.at[slot], dattr_ref.at[:, pl.ds(start + k * CHUNK, CHUNK)],
-            out_sem.at[slot])
-
-    @pl.when(nchunks > 0)
-    def _():
-        in_copy(0, 0).start()
-
-    def pass2(k, _):
-        slot = jax.lax.rem(k, 2)
-        in_copy(k, slot).wait()
-
-        @pl.when(k + 1 < nchunks)
+        @pl.when(first)
         def _():
-            in_copy(k + 1, 1 - slot).start()
+            state_ref[:] = jnp.zeros((PIX, 4), jnp.float32)
+            state_ref[:, 0:1] = jnp.ones((PIX, 1), jnp.float32)
 
-        @pl.when(k >= 2)
+        @pl.when(jnp.max(state_ref[:, 0]) >= T_EPS)
         def _():
-            out_copy(k - 2, slot).wait()
+            px, py = _pixel_cols(t, tiles_x)
+            dC = cot_ref[0, :, PO_RGB:PO_RGB + 3]       # (PIX, 3)
+            dT = cot_ref[0, :, PO_T:PO_T + 1]
+            dN = cot_ref[0, :, PO_NRM:PO_NRM + 3]
+            dDist = cot_ref[0, :, PO_DIST:PO_DIST + 1]
+            final_T = fwd_ref[0, :, PO_T:PO_T + 1]
 
-        alive = jnp.max(state_ref[:, 0]) >= T_EPS
+            def u_of(A):
+                u = A[P_DIST:P_DIST + 1, :] * dDist
+                for c in range(3):
+                    u += A[P_RGB + c:P_RGB + c + 1, :] * dC[:, c:c + 1]
+                    u += A[P_NRM + c:P_NRM + c + 1, :] * dN[:, c:c + 1]
+                return u
 
-        @pl.when(alive)
-        def _():
-            A = abuf[slot]
-            a, (dx, dy, g_exp, raw, ok) = _chunk_alpha_p(
-                A, px, py, lane + k * CHUNK < count)
+            # total = sum_i w_i u_i: every u channel (rgb, normal,
+            # distance) is linear in w, so the pass-1 walk the CUDA
+            # backward does reduces to contracting the forward accumulators
+            # with their cotangents.
+            total = dDist * fwd_ref[0, :, PO_DIST:PO_DIST + 1]
+            for _c in range(3):
+                total += dC[:, _c:_c + 1] * fwd_ref[0, :, PO_RGB + _c:
+                                                    PO_RGB + _c + 1]
+                total += dN[:, _c:_c + 1] * fwd_ref[0, :, PO_NRM + _c:
+                                                    PO_NRM + _c + 1]
+            bgterm = final_T * dT
+
+            A = attrs_ref[:, :]
+            a, (dx, dy, g_exp, raw, ok) = _chunk_alpha_p(A, px, py)
             one_m = 1.0 - a
             pfx = _prefix_prod_excl_lanes(one_m)
             d_before = state_ref[:, 0:1] * pfx
@@ -255,115 +190,86 @@ def _bwdp_kernel(tiles_x, ranges_ref, counts_ref, attrs_ref, fwd_ref,
             unclamped = raw < ALPHA_MAX
             da_eff = jnp.where(ok & unclamped, da, 0.0)
             dpower = da_eff * raw
-            r = lambda i: A[i:i + 1, :]
+            r = lambda j: A[j:j + 1, :]
             cxx, cxy, cyy = r(P_CXX), r(P_CXY), r(P_CYY)
             gx = dpower * -(cxx * dx + cxy * dy)
             gy = dpower * -(cyy * dy + cxy * dx)
-            s = lambda v: jnp.sum(v, axis=0, keepdims=True)
+            sm = lambda v: jnp.sum(v, axis=0, keepdims=True)
             # rows in P_* order: mx my cxx cxy cyy op rgb nrm dist
-            # valid(0) absx absy — abs screen grads per backward.cu:602-603
-            rows = ([s(gx), s(gy),
-                     s(dpower * (-0.5 * dx * dx)),
-                     s(dpower * (-dx * dy)),
-                     s(dpower * (-0.5 * dy * dy)),
-                     s(da_eff * g_exp)]
-                    + [s(w * dC[:, c:c + 1]) for c in range(3)]
-                    + [s(w * dN[:, c:c + 1]) for c in range(3)]
-                    + [s(w * dDist),
+            # obs absx absy — abs screen grads per backward.cu:602-603
+            rows = ([sm(gx), sm(gy),
+                     sm(dpower * (-0.5 * dx * dx)),
+                     sm(dpower * (-dx * dy)),
+                     sm(dpower * (-0.5 * dy * dy)),
+                     sm(da_eff * g_exp)]
+                    + [sm(w * dC[:, c:c + 1]) for c in range(3)]
+                    + [sm(w * dN[:, c:c + 1]) for c in range(3)]
+                    + [sm(w * dDist),
                        # observe counts ride the gradient scatter for free
-                       # (forward.cu:380-383 out_observe, but gathered on
-                       # the backward's existing per-gaussian reduction)
-                       s(jnp.where(contrib & (d_before > 0.5), 1.0, 0.0)),
-                       s(jnp.abs(gx)), s(jnp.abs(gy))])
-            dbuf[slot] = jnp.concatenate(rows, axis=0)
+                       # (forward.cu:380-383 out_observe, gathered on the
+                       # backward's existing per-gaussian reduction)
+                       sm(jnp.where(contrib & (d_before > 0.5), 1.0, 0.0)),
+                       sm(jnp.abs(gx)), sm(jnp.abs(gy))])
+            dattr_ref[:, :] = jnp.concatenate(rows, axis=0)
             state_ref[:, 2:3] = state_ref[:, 2:3] + jnp.sum(
                 wu, axis=1, keepdims=True)
-            state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:] * one_m[:, -1:])
-
-        @pl.when(jnp.logical_not(alive))
-        def _():
-            dbuf[slot] = jnp.zeros((NUM_ATTRS_P, CHUNK), jnp.float32)
-
-        out_copy(k, slot).start()
-        return 0
-
-    jax.lax.fori_loop(0, nchunks, pass2, 0)
-
-    @pl.when(nchunks >= 2)
-    def _():
-        out_copy(nchunks - 2, jax.lax.rem(nchunks - 2, 2)).wait()
-
-    @pl.when(nchunks >= 1)
-    def _():
-        out_copy(nchunks - 1, jax.lax.rem(nchunks - 1, 2)).wait()
+            state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:]
+                                                     * one_m[:, -1:])
 
 
 # ---------------------------------------------------------------------------
 # wrappers + custom VJP
 # ---------------------------------------------------------------------------
 
-def _run_fwdp(attrs, ranges, counts, tiles_x: int, tiles_y: int):
+def _run_fwdp(attrs, cmap, nlive, tiles_x: int, tiles_y: int):
     num_tiles = tiles_x * tiles_y
-    I = attrs.shape[1]
+    n_chunks = attrs.shape[1] // CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+        grid=(n_chunks,),
+        in_specs=[pl.BlockSpec((NUM_ATTRS_P, CHUNK),
+                               lambda i, cmap, nl: (0, i))],
         out_specs=(
-            pl.BlockSpec((1, PIX, OUTP_ROWS), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.HBM),
+            pl.BlockSpec((1, PIX, OUTP_ROWS),
+                         lambda i, cmap, nl: (cmap[i], 0, 0)),
+            pl.BlockSpec((OBS_ROWS, CHUNK), lambda i, cmap, nl: (0, i)),
         ),
-        scratch_shapes=[
-            pltpu.VMEM((2, NUM_ATTRS_P, CHUNK), jnp.float32),
-            pltpu.VMEM((2, OBS_ROWS, CHUNK), jnp.float32),
-            pltpu.VMEM((PIX, OUTP_ROWS), jnp.float32),
-            pltpu.VMEM((PIX, 2), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        scratch_shapes=[pltpu.VMEM((PIX, 2), jnp.float32)],
     )
     return pl.pallas_call(
         functools.partial(_fwdp_kernel, tiles_x),
         out_shape=(
             jax.ShapeDtypeStruct((num_tiles, PIX, OUTP_ROWS), jnp.float32),
-            jax.ShapeDtypeStruct((OBS_ROWS, I), jnp.float32),
+            jax.ShapeDtypeStruct((OBS_ROWS, attrs.shape[1]), jnp.float32),
         ),
         grid_spec=grid_spec,
         interpret=_interpret(),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ranges, counts, attrs)
+    )(cmap, nlive, attrs)
 
 
-def _run_bwdp(attrs, ranges, counts, fwd_out, cot, tiles_x: int,
+def _run_bwdp(attrs, cmap, nlive, fwd_out, cot, tiles_x: int,
               tiles_y: int):
-    num_tiles = tiles_x * tiles_y
+    n_chunks = attrs.shape[1] // CHUNK
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
-        grid=(num_tiles,),
+        grid=(n_chunks,),
         in_specs=[
-            pl.BlockSpec(memory_space=pltpu.HBM),
-            pl.BlockSpec((1, PIX, OUTP_ROWS), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, PIX, OUTP_ROWS), lambda i, *_: (i, 0, 0),
-                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((NUM_ATTRS_P, CHUNK), lambda i, cmap, nl: (0, i)),
+            pl.BlockSpec((1, PIX, OUTP_ROWS),
+                         lambda i, cmap, nl: (cmap[i], 0, 0)),
+            pl.BlockSpec((1, PIX, OUTP_ROWS),
+                         lambda i, cmap, nl: (cmap[i], 0, 0)),
         ],
-        out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
-        scratch_shapes=[
-            pltpu.VMEM((2, NUM_ATTRS_P, CHUNK), jnp.float32),
-            pltpu.VMEM((2, NUM_ATTRS_P, CHUNK), jnp.float32),
-            pltpu.VMEM((PIX, 4), jnp.float32),
-            pltpu.SemaphoreType.DMA((2,)),
-            pltpu.SemaphoreType.DMA((2,)),
-        ],
+        out_specs=pl.BlockSpec((NUM_ATTRS_P, CHUNK),
+                               lambda i, cmap, nl: (0, i)),
+        scratch_shapes=[pltpu.VMEM((PIX, 4), jnp.float32)],
     )
     return pl.pallas_call(
         functools.partial(_bwdp_kernel, tiles_x),
         out_shape=jax.ShapeDtypeStruct(attrs.shape, jnp.float32),
         grid_spec=grid_spec,
         interpret=_interpret(),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-    )(ranges, counts, attrs, fwd_out, cot)
+    )(cmap, nlive, attrs, fwd_out, cot)
 
 
 def _tiles_to_rows(out, tiles_x, tiles_y):
@@ -380,27 +286,24 @@ def _rows_to_tiles(rows, tiles_x, tiles_y):
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def _blendp_core(attrs, ranges, counts, tiles_x, tiles_y):
-    out, obs = _run_fwdp(attrs, ranges, counts, tiles_x, tiles_y)
+def _blendp_core(attrs, cmap, nlive, tiles_x, tiles_y):
+    out, obs = _run_fwdp(attrs, cmap, nlive, tiles_x, tiles_y)
     return _tiles_to_rows(out, tiles_x, tiles_y), obs
 
 
-def _blendp_core_fwd(attrs, ranges, counts, tiles_x, tiles_y):
-    out, obs = _run_fwdp(attrs, ranges, counts, tiles_x, tiles_y)
+def _blendp_core_fwd(attrs, cmap, nlive, tiles_x, tiles_y):
+    out, obs = _run_fwdp(attrs, cmap, nlive, tiles_x, tiles_y)
     return (_tiles_to_rows(out, tiles_x, tiles_y), obs), \
-        (attrs, ranges, counts, out)
+        (attrs, cmap, nlive, out)
 
 
 def _blendp_core_bwd(tiles_x, tiles_y, res, cotangents):
-    attrs, ranges, counts, fwd_out = res
+    attrs, cmap, nlive, fwd_out = res
     g_rows, _g_obs = cotangents            # observe output: no gradient
     cot = _rows_to_tiles(g_rows, tiles_x, tiles_y)
-    dattrs = _run_bwdp(attrs, ranges, counts, fwd_out, cot, tiles_x, tiles_y)
-    # slots past the last padded range are never DMA-written — mask them
-    ii = jnp.arange(attrs.shape[1], dtype=jnp.int32)
-    dattrs = jnp.where(ii[None, :] < ranges[-1], dattrs, 0.0)
-    return (dattrs, np.zeros(ranges.shape, jax.dtypes.float0),
-            np.zeros(counts.shape, jax.dtypes.float0))
+    dattrs = _run_bwdp(attrs, cmap, nlive, fwd_out, cot, tiles_x, tiles_y)
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return dattrs, f0(cmap), f0(nlive)
 
 
 _blendp_core.defvjp(_blendp_core_fwd, _blendp_core_bwd)
@@ -411,13 +314,13 @@ def pack_instance_attrs_pgsr(mean2d, conic, color, opacity, normal, distance,
     """obs_dummy [N,1] / abs_dummy [N,2] zeros — their gather-VJP columns
     receive the per-gaussian observe counts and abs screen grads (both
     written by the backward kernel), riding the one scatter-add that the
-    real gradients already pay for. Validity is NOT an attr row here: the
-    kernels derive it from the scalar-prefetched per-tile counts.
+    real gradients already pay for.
     Single packed [N, A] gather (see vanilla pack_instance_attrs)."""
     per_gauss = jnp.concatenate([
         mean2d, conic, opacity[:, None], color, normal, distance[:, None],
         obs_dummy, abs_dummy], axis=1)
-    return per_gauss[binning.gauss_id].T
+    # zero filler / non-ellipse-hit lanes -> exact alpha=0 no-ops
+    return (per_gauss[binning.gauss_id] * binning.hit[:, None]).T
 
 
 class PlanarMaps:
@@ -436,6 +339,12 @@ def blend_pgsr_pallas(mean2d, conic, color, opacity, normal, distance,
     tiles_x, tiles_y = width // TILE, height // TILE
     attrs = pack_instance_attrs_pgsr(mean2d, conic, color, opacity, normal,
                                      distance, obs_dummy, abs_dummy, binning)
-    rows, obs = _blendp_core(attrs, binning.tile_ranges,
-                             binning.tile_counts, tiles_x, tiles_y)
+    rows, obs = _blendp_core(attrs, binning.chunk_map,
+                             binning.n_live_chunks, tiles_x, tiles_y)
+    # tiles with no instances are never visited by the flat-chunk grid;
+    # splice in the empty render (all-zero channels, T = 1)
+    from gssr_tpu.ops.blend_pallas import tile_nonempty_mask
+    ne = tile_nonempty_mask(binning.tile_counts, tiles_x, tiles_y)
+    empty_rows = jnp.zeros((OUTP_ROWS,), jnp.float32).at[PO_T].set(1.0)
+    rows = jnp.where(ne[..., None], rows, empty_rows)
     return PlanarMaps(rows, obs)

@@ -117,19 +117,12 @@ def rasterize(means3d, scales, rotations, opacity, camera,
         chunk = CHUNK
     else:
         chunk = 1
-    import os as _os
-    segred_on = _os.environ.get("GSSR_TPU_SEGRED", "0") == "1"
     binning = bin_gaussians(
         jax.lax.stop_gradient(rect),
         jax.lax.stop_gradient(proj.depth),
         jax.lax.stop_gradient(tiles),
         pw // TILE, tiles_yb, instance_cap, chunk=chunk,
-        tile_mask=mask,
-        exact_counts=jax.lax.stop_gradient(exact) if segred_on else None,
-        # the pallas kernels derive lane validity from tile_counts; the
-        # per-instance valid channel (a cummax broadcast + compare chain +
-        # a full [16, I] ATTR_VALID row write) is only needed elsewhere
-        need_valid=(backend != "pallas") or segred_on)
+        tile_mask=mask)
 
     opacity = opacity.reshape(-1)
     image, final_T = _blend_dispatch(mean2d_b, proj.conic, color, opacity,

@@ -84,9 +84,7 @@ def rasterize_2d(means3d, scales2, rotations, opacity, camera,
         jax.lax.stop_gradient(rect),
         jax.lax.stop_gradient(proj.depth),
         jax.lax.stop_gradient(tiles),
-        pw // TILE, tiles_yb, instance_cap, chunk=chunk,
-        # pallas kernels mask lanes by tile_counts (see rasterize.py)
-        need_valid=(backend != "pallas"))
+        pw // TILE, tiles_yb, instance_cap, chunk=chunk)
 
     opacity = opacity.reshape(-1)
     if backend == "pallas":

@@ -109,10 +109,7 @@ def rasterize_pgsr(means3d, scales, rotations, opacity, camera,
         jax.lax.stop_gradient(proj.depth),
         jax.lax.stop_gradient(tiles),
         pw // TILE, tiles_yb, instance_cap, chunk=chunk,
-        tile_mask=mask,
-        # pallas kernels mask lanes by tile_counts (see rasterize.py); the
-        # observe segment-sum below masks tail slots by index instead
-        need_valid=(backend != "pallas"))
+        tile_mask=mask)
 
     opacity = opacity.reshape(-1)
     N = means3d.shape[0]
@@ -122,9 +119,9 @@ def rasterize_pgsr(means3d, scales, rotations, opacity, camera,
                                  normal_c, distance, observe_offset,
                                  mean2d_abs_offset, binning, pw, render_h)
         obs_inst = maps.observe_inst[0, :]
-        # in-range padding lanes get exact zeros from the kernel (alpha
-        # masked by lane < tile count); only slots past the last padded
-        # range are uninitialized DMA memory and must be masked here
+        # filler / non-hit lanes get exact zeros from the kernel (their
+        # attrs are hit-zeroed, so contrib is false); only slots past the
+        # last padded range are uninitialized DMA memory, masked here
         in_range = (jnp.arange(obs_inst.shape[0], dtype=jnp.int32)
                     < binning.tile_ranges[-1])
         observe = jax.ops.segment_sum(

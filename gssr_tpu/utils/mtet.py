@@ -165,9 +165,14 @@ def marching_tetrahedra_blocked(sdf, level=0.0, spacing=(1, 1, 1),
 
 
 def keep_largest_clusters(verts: np.ndarray, faces: np.ndarray,
-                          num_keep: int = 1, min_faces: int = 0):
-    """Connected-component mesh cleanup (mesh_utils.post_process_mesh)."""
+                          num_keep: int = 1, min_faces: int = 0,
+                          vert_attrs=None):
+    """Connected-component mesh cleanup (mesh_utils.post_process_mesh).
+    vert_attrs: optional per-vertex array (e.g. colors) filtered alongside
+    the vertices; when given, returns (verts, faces, attrs)."""
     if len(faces) == 0:
+        if vert_attrs is not None:
+            return verts, faces, vert_attrs
         return verts, faces
     from scipy.sparse import coo_matrix
     from scipy.sparse.csgraph import connected_components
@@ -186,4 +191,6 @@ def keep_largest_clusters(verts: np.ndarray, faces: np.ndarray,
     used = np.unique(faces)
     remap = np.full(len(verts), -1, np.int64)
     remap[used] = np.arange(len(used))
+    if vert_attrs is not None:
+        return verts[used], remap[faces], vert_attrs[used]
     return verts[used], remap[faces]

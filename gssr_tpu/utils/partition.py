@@ -59,6 +59,45 @@ def transform_colmap(input_model: str, output_model: str,
     return cams, images_new, pts_new
 
 
+def estimate_orientation_alignment(images: Dict) -> np.ndarray:
+    """Estimate a rotation-only 4x4 transform that makes the ground plane
+    the xy plane (world up -> +z), so the partitioner's xy camera-position
+    grid cuts along the ground.
+
+    Stands in for COLMAP's `model_orientation_aligner` stage
+    (/root/reference/convert.py:69-78) when the colmap binary (or its
+    Manhattan-frame estimate) is unavailable: world up is the consensus of
+    the cameras' up axes (-y row of each w2c rotation), and the in-plane
+    x axis is the dominant PCA direction of the camera centers projected
+    onto the ground plane. Returns P with rows = the new world axes
+    (applied as x' = P[:3,:3] @ x, matching transform_colmap).
+    """
+    ups, centers = [], []
+    for im in images.values():
+        R = im.rotmat()
+        ups.append(-R[1])                    # R^T @ (0,-1,0): camera up
+        centers.append(_cam_center(im))
+    u = np.mean(np.stack(ups), axis=0)
+    u = u / max(np.linalg.norm(u), 1e-12)
+    C = np.stack(centers)
+    C = C - C.mean(axis=0)
+    Cp = C - (C @ u)[:, None] * u[None, :]   # project out the up component
+    cov = Cp.T @ Cp
+    evals, evecs = np.linalg.eigh(cov)
+    e1 = evecs[:, -1]
+    e1 = e1 - (e1 @ u) * u
+    n = np.linalg.norm(e1)
+    if n < 1e-9:                              # degenerate (e.g. one camera)
+        e1 = np.array([1.0, 0.0, 0.0]) - u[0] * u
+        e1 /= max(np.linalg.norm(e1), 1e-12)
+    else:
+        e1 = e1 / n
+    e2 = np.cross(u, e1)
+    P = np.eye(4)
+    P[:3, :3] = np.stack([e1, e2, u])        # right-handed, det = +1
+    return P
+
+
 def region_division(images: Dict, num_col: Optional[int] = None,
                     num_row: Optional[int] = None,
                     max_num_images: int = 150) -> List[Dict]:
@@ -247,11 +286,26 @@ def split_scene(source_path: str, output_path: Optional[str] = None,
                 max_num_images: int = 200, extend_ratio: float = 0.1,
                 visibility_threshold: float = 0.5,
                 transform_file: Optional[str] = None,
-                copy_images: bool = True) -> List[str]:
+                copy_images: bool = True,
+                auto_align: bool = False) -> List[str]:
     """Full partitioning pipeline; writes tile_%04d/ COLMAP models + box.txt
-    (split_scene.py:24-87). Returns the tile directory list."""
+    (split_scene.py:24-87). Returns the tile directory list.
+
+    auto_align: when set (and no transform_file given), estimate the
+    ground-plane alignment from the model itself (see
+    estimate_orientation_alignment), persist it to
+    output/align_transform.txt, and partition in the aligned frame —
+    covering the reference's `model_orientation_aligner` convert stage for
+    environments without a colmap binary."""
     output_path = output_path or source_path
     os.makedirs(output_path, exist_ok=True)
+
+    if transform_file is None and auto_align:
+        _, raw_images, _ = colmap.read_model(
+            os.path.join(source_path, "sparse/0"))
+        P = estimate_orientation_alignment(raw_images)
+        transform_file = os.path.join(output_path, "align_transform.txt")
+        np.savetxt(transform_file, P)
 
     if transform_file is not None:
         cams, images, pts = transform_colmap(

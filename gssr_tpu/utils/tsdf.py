@@ -47,21 +47,24 @@ def _voxel_world_coords(vol: TSDFVolume):
 def integrate(vol: TSDFVolume, depth, rgb, w2c, fx, fy, cx, cy,
               depth_trunc: float = 1e9, alpha=None,
               alpha_thres: float = 0.5) -> TSDFVolume:
-    """Integrate one view. depth [H,W], rgb [H,W,3], w2c [4,4]."""
+    """Integrate one view. depth [H,W], rgb [H,W,3], w2c [4,4]. Depth, rgb
+    and alpha are sampled bilinearly (the reference grid_samples depth and
+    rgb, mesh_utils.py:203-204)."""
+    from gssr_tpu.ops.sampling import bilinear_sample
+
     H, W = depth.shape
     pts = _voxel_world_coords(vol)
     cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
     z = cam[..., 2]
     u = cam[..., 0] * fx / jnp.where(z != 0, z, 1.0) + cx
     v = cam[..., 1] * fy / jnp.where(z != 0, z, 1.0) + cy
-    ui = jnp.clip(jnp.round(u).astype(jnp.int32), 0, W - 1)
-    vi = jnp.clip(jnp.round(v).astype(jnp.int32), 0, H - 1)
+    uv = jnp.stack([u, v], axis=-1)
     in_img = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1) & (z > 0)
-    d = depth[vi, ui]
-    c = rgb[vi, ui]
+    d = bilinear_sample(depth, uv)
+    c = bilinear_sample(rgb, uv)
     valid_d = (d > 0) & (d < depth_trunc)
     if alpha is not None:
-        valid_d = valid_d & (alpha[vi, ui] > alpha_thres)
+        valid_d = valid_d & (bilinear_sample(alpha, uv) > alpha_thres)
     sdf = (d - z) / vol.sdf_trunc
     upd = in_img & valid_d & (sdf > -1.0)
     sdf = jnp.clip(sdf, -1.0, 1.0)
@@ -80,7 +83,9 @@ integrate_jit = jax.jit(integrate, static_argnames=("depth_trunc",
 
 
 def extract_mesh(vol: TSDFVolume, level: float = 0.0, num_cluster: int = 0):
-    """Marching-tetrahedra surface of the fused volume (host-side)."""
+    """Marching-tetrahedra surface of the fused volume (host-side).
+    Returns (verts, faces, vertex_colors) — colors trilinearly sampled
+    from the color-weighted fusion volume."""
     from gssr_tpu.utils.mtet import (
         keep_largest_clusters,
         marching_tetrahedra_blocked,
@@ -93,7 +98,30 @@ def extract_mesh(vol: TSDFVolume, level: float = 0.0, num_cluster: int = 0):
         origin=np.asarray(vol.origin), mask=mask)
     if num_cluster > 0:
         verts, faces = keep_largest_clusters(verts, faces, num_cluster)
-    return verts, faces
+    colors = sample_volume_colors(vol, verts)
+    return verts, faces, colors
+
+
+def sample_volume_colors(vol: TSDFVolume, verts: np.ndarray) -> np.ndarray:
+    """Trilinear sample of vol.color at world-space vertices."""
+    if len(verts) == 0:
+        return np.zeros((0, 3), np.float32)
+    col = np.asarray(vol.color)
+    g = (np.asarray(verts) - np.asarray(vol.origin)) / vol.voxel_size
+    dims = np.asarray(col.shape[:3])
+    g = np.clip(g, 0.0, dims - 1.000001)
+    g0 = np.floor(g).astype(np.int64)
+    f = (g - g0)[..., None]
+    g1 = np.minimum(g0 + 1, dims - 1)
+    out = np.zeros((len(verts), 3), np.float32)
+    for dx, wx in ((0, 1 - f[:, 0]), (1, f[:, 0])):
+        for dy, wy in ((0, 1 - f[:, 1]), (1, f[:, 1])):
+            for dz, wz in ((0, 1 - f[:, 2]), (1, f[:, 2])):
+                ix = g1[:, 0] if dx else g0[:, 0]
+                iy = g1[:, 1] if dy else g0[:, 1]
+                iz = g1[:, 2] if dz else g0[:, 2]
+                out += (wx * wy * wz) * col[ix, iy, iz]
+    return np.clip(out, 0.0, 1.0)
 
 
 # ---------------------------------------------------------------------------

@@ -22,6 +22,10 @@ def main():
     ap.add_argument("--extend-ratio", type=float, default=0.1)
     ap.add_argument("--visibility-threshold", type=float, default=0.5)
     ap.add_argument("--transform-file", default=None)
+    ap.add_argument("--auto-align", action="store_true",
+                    help="estimate the ground-plane alignment from the "
+                         "model (stands in for colmap "
+                         "model_orientation_aligner) before partitioning")
     ap.add_argument("--no-copy-images", action="store_true")
     args = ap.parse_args()
 
@@ -29,7 +33,8 @@ def main():
     tiles = split_scene(
         args.source_path, args.output_path, args.num_col, args.num_row,
         args.max_num_images, args.extend_ratio, args.visibility_threshold,
-        args.transform_file, copy_images=not args.no_copy_images)
+        args.transform_file, copy_images=not args.no_copy_images,
+        auto_align=args.auto_align)
     print(f"wrote {len(tiles)} tiles:")
     for t in tiles:
         print(" ", t)

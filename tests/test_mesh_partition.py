@@ -70,10 +70,13 @@ def test_tsdf_fusion_plane():
                         jnp.asarray(cam.fx), jnp.asarray(cam.fy),
                         jnp.asarray(cam.cx), jnp.asarray(cam.cy),
                         depth_trunc=5.0, alpha=alpha)
-    verts, faces = extract_mesh(vol)
+    verts, faces, colors = extract_mesh(vol)
     assert len(faces) > 100
     # surface near z=0 plane
     assert abs(np.median(verts[:, 2])) < 0.05
+    # vertex colors fused from the constant-0.5 rgb frames
+    assert colors.shape == (len(verts), 3)
+    assert np.allclose(np.median(colors, axis=0), 0.5, atol=0.05)
 
 
 def test_partitioner(tmp_path):
@@ -166,3 +169,49 @@ def test_mesh_eval_degenerate_inputs():
     f = np.tile(np.arange(1)[:, None], (4, 3))  # zero-area triangles
     pts = sample_points_on_mesh(v, f, 64)
     assert pts.shape == (64, 3)
+
+
+def test_unbounded_fuse_bilinear_oracle():
+    """_fuse_points must sample depth/rgb bilinearly (reference
+    grid_sample, mesh_utils.py:203-204), not nearest-neighbor."""
+    import math
+    import jax.numpy as jnp
+    from gssr_tpu.cameras import Camera
+    from gssr_tpu.utils.mesh_extract import GaussianExtractor
+
+    W = H = 16
+    cam = Camera(uid=0, colmap_id=0, image_name="c", R=np.eye(3),
+                 T=np.array([0.0, 0.0, 2.0]), fovx=math.radians(60),
+                 fovy=math.radians(60), width=W, height=H)
+    depth = np.full((H, W), 2.0, np.float32)
+    # strong horizontal color gradient: bilinear vs nearest differ by
+    # ~half a step at half-pixel projections
+    rgb = np.zeros((H, W, 3), np.float32)
+    rgb[..., 0] = np.arange(W, dtype=np.float32)[None, :] / (W - 1)
+    alpha = np.ones((H, W), np.float32)
+
+    ex = GaussianExtractor.__new__(GaussianExtractor)
+    ex.cameras = [cam]
+    ex.depthmaps = [depth]
+    ex.rgbmaps = [rgb]
+    ex.alphamaps = [alpha]
+
+    # world points on the wall (z=0 plane) that project at exact
+    # half-pixel u coordinates
+    fx, cx = cam.fx, cam.cx
+    us = np.array([3.5, 7.5, 11.5])
+    xs = (us - cx) / fx * 2.0                 # z_cam = 2.0
+    pts = np.stack([xs, np.zeros(3), np.zeros(3)], axis=1)
+    center = jnp.zeros(3, jnp.float32)
+    tsdf, cols, w = ex._fuse_points(
+        jnp.asarray(pts, jnp.float32), center, 10.0, 0.5,
+        alpha_thres=0.5, with_rgb=True)
+    assert np.all(np.asarray(w) > 0)
+    # sdf = depth - z ~ 0 on the wall
+    assert np.allclose(np.asarray(tsdf), 0.0, atol=1e-3)
+    expect = (np.floor(us) + 0.5) / (W - 1)   # exact bilinear midpoint
+    got = np.asarray(cols)[:, 0]
+    assert np.allclose(got, expect, atol=1e-4), (got, expect)
+    # nearest-neighbor would land on a grid value, ~1/(2(W-1)) away
+    nearest = np.round(us) / (W - 1)
+    assert np.all(np.abs(got - nearest) > 1e-3)

@@ -24,7 +24,7 @@ def scene_dir(tmp_path_factory):
     return str(d)
 
 
-def _small_config(method, scene_dir, out_dir):
+def _small_config(method, scene_dir, out_dir, backend="reference"):
     import dataclasses
     from gssr_tpu.configs.methods import get_method_config
     config = get_method_config(method)
@@ -35,7 +35,7 @@ def _small_config(method, scene_dir, out_dir):
     config.trainer.save_iterations = [8]
     config.trainer.log_interval = 4
     config.scene.instance_cap = 1024
-    config.scene.backend = "reference"
+    config.scene.backend = backend
     g = config.scene.gaussians
     overrides = dict(capacity=256)
     if hasattr(g, "n_offsets"):
@@ -64,6 +64,26 @@ def test_method_short_train(method, scene_dir, tmp_path):
     assert n > 0
     base = config.get_base_dir()
     ply = base / "point_cloud/iteration_8/point_cloud.ply"
+    assert ply.exists()
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("method", ["3dgs", "2dgs", "scaffold-gs",
+                                    "octree-2dgs", "pgsr"])
+def test_method_short_train_pallas(method, scene_dir, tmp_path):
+    """The same e2e smoke on the PALLAS kernels (interpret mode on CPU) —
+    one family per rasterizer payload plus the compacted neural decode, so
+    visible-budget compaction + pallas binning/blend compose under the real
+    Trainer (VERDICT r2 item 5)."""
+    from gssr_tpu.engine.trainer import Trainer
+    config = _small_config(method, scene_dir, str(tmp_path),
+                           backend="pallas")
+    config.save_config()
+    trainer = Trainer(config)
+    trainer.setup()
+    state = trainer.train()
+    assert int(state.n_active) > 0
+    ply = config.get_base_dir() / "point_cloud/iteration_8/point_cloud.ply"
     assert ply.exists()
 
 
