@@ -239,7 +239,10 @@ def eval_mesh(method, out_root, gt_pts):
 METHOD_ARGS = {
     "3dgs": ["--scene.gaussians.capacity", "262144"],
     "2dgs": ["--scene.gaussians.capacity", "262144"],
-    "pgsr": ["--scene.gaussians.capacity", "262144"],
+    # multi-view losses activate at half the run (default 7000 would never
+    # trigger inside a 2.4k-iter convergence window)
+    "pgsr": ["--scene.gaussians.capacity", "262144",
+             "--scene.multi-view-from", "1200"],
     "scaffold-gs": ["--scene.gaussians.capacity", "65536"],
     "octree-gs": ["--scene.gaussians.capacity", "65536"],
     "scaffold-2dgs": ["--scene.gaussians.capacity", "65536"],
