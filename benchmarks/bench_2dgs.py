@@ -20,7 +20,8 @@ def main():
     from gssr_tpu.ops.rasterize2d import rasterize_2d
     from gssr_tpu.scene.twodgs import surfel_reg_losses
 
-    CAP = 3 << 20
+    # tight: the workload pads to ~1.9M chunk-aligned instances
+    CAP = 1_966_080
     cloud = make_cloud()
     cam = make_camera()
     camarr = cam.arrays()

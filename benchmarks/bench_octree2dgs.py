@@ -24,7 +24,8 @@ def main():
     from gssr_tpu.ops.rasterize import pad_to_tiles
     from gssr_tpu.scene.twodgs import surfel_reg_losses
 
-    CAP = 1 << 22
+    # tight: the workload pads to ~2.1M chunk-aligned instances
+    CAP = 2_359_296
     rng = np.random.default_rng(0)
     pts = rng.uniform(-3, 3, (60_000, 3)) * np.array([1.5, 1.0, 1.0])
     cams = [make_camera(i, dist=3.0 + i * 0.5, yaw=0.3 * i)

@@ -26,7 +26,8 @@ def main():
         config = PGSRSceneConfig()
     shim = _Shim()
 
-    CAP = 3 << 20
+    # tight: ~2.45M padded instances per render
+    CAP = 2_555_904
     cloud = make_cloud()
     cam = make_camera(0)
     cam2 = make_camera(1, yaw=0.12)

@@ -23,7 +23,8 @@ def main():
     from gssr_tpu.ops.rasterize import rasterize, pad_to_tiles
     from gssr_tpu.ops.projection import preprocess
 
-    CAP = 1 << 22
+    # tight: the workload pads to ~3.8M chunk-aligned instances
+    CAP = 3_932_160
     rng = np.random.default_rng(0)
     # ~40k anchors x 10 offsets -> up to 400k neural gaussians
     pts = rng.uniform(-3, 3, (60_000, 3)) * np.array([1.5, 1.0, 1.0])

@@ -45,9 +45,64 @@ class Binning(NamedTuple):
     # revisiting never flushes stale data over a written tile)
     chunk_map: jnp.ndarray = None    # [I // chunk] int32
     n_live_chunks: jnp.ndarray = None  # [1] int32
+    # sorted-segment-reduction backward (see segment_reduce_sorted):
+    # gaussian id per slot with sentinel N for filler/dead slots, and the
+    # [N+1] per-gaussian segment boundaries in gid-sorted order (exclusive
+    # cumsum of the per-gaussian rect-slot counts)
+    gid_reduce: jnp.ndarray = None   # [I] int32
+    seg_bounds: jnp.ndarray = None   # [N+1] int32
     # reference (chunk=1) path only:
     tile_of: jnp.ndarray = None      # [I] int32 (sentinel = num_tiles)
     valid: jnp.ndarray = None        # [I] bool
+
+
+def segment_reduce_sorted(vals, gid_reduce, seg_bounds, block: int = 128):
+    """Per-gaussian sums of per-instance values WITHOUT a scatter.
+
+    XLA's TPU scatter-add costs ~180ns PER OUTPUT-TABLE ROW, almost
+    independent of index count and width (measured v5e: [2.36M]->[200k]
+    41ms, ->[1.31M] 241ms) — ruinous for scaffold/octree payloads whose
+    decoded-gaussian table has millions of rows. Instead: sort the value
+    columns by gaussian id (radix sort moves payloads coalesced), then take
+    prefix sums ONLY at the N+1 per-gaussian segment boundaries via a
+    two-level blocked prefix:
+
+      * per column, reshape [I] -> [I/128, 128] and cumsum the MINOR axis;
+      * a tiny [I/128] block-prefix scan;
+      * one monotone flat gather of the within-block prefix per boundary.
+
+    prefix(p) = blockpre[p // 128] + within[p - 1 | guarded], and the
+    per-gaussian sum is prefix(bounds[g+1]) - prefix(bounds[g]).
+
+    vals: [I, C] float32, I a multiple of `block`. Filler/dead slots carry
+    gid sentinel N and sort past seg_bounds[-1] (their values are exact
+    zeros anyway). Returns [N, C].
+    """
+    i_cap, n_cols = vals.shape
+    assert i_cap % block == 0, "instance_cap must be block-aligned"
+    cols = tuple(vals[:, i] for i in range(n_cols))
+    out = jax.lax.sort((gid_reduce,) + cols, num_keys=1)
+
+    pb = seg_bounds // block                      # [N+1] block index
+    po = seg_bounds - pb * block                  # [N+1] within-block offset
+    flat = jnp.clip(seg_bounds - 1, 0, i_cap - 1)
+    has_within = (po > 0)[:, None]
+
+    # per-column block prefixes keep the 128-lane axis on the block dim (a
+    # joint [I/B, B, C] cumsum would pad C to 128 lanes); the BOUNDARY
+    # lookups are then done as TWO row gathers over stacked [*, C] tables —
+    # N+1 per-column gathers (the r2 formulation) cost ~15ms EACH at
+    # millions of boundaries, dwarfing everything else.
+    ws = [jnp.cumsum(c.reshape(-1, block), axis=1) for c in out[1:]]
+    w_flat = jnp.stack([w.reshape(-1) for w in ws], axis=1)       # [I, C]
+    blockpre = jnp.concatenate(
+        [jnp.zeros((1, n_cols), vals.dtype),
+         jnp.cumsum(jnp.stack([w[:, -1] for w in ws], axis=1), axis=0)])
+
+    from gssr_tpu.ops.blend_pallas import _row_gather
+    prefix = (blockpre[pb]
+              + jnp.where(has_within, _row_gather(w_flat, flat), 0.0))
+    return prefix[1:] - prefix[:-1]
 
 
 def tile_cover_counts(rect, visible, tiles_x: int, tiles_y: int):
@@ -148,9 +203,13 @@ def _expand_keys(rect, depth, tiles_touched, tile_mask, tiles_x, num_tiles,
     # unsigned->signed XOR of the top bit makes the packed key monotone
     # under int32 comparison. Depth ties within 2^-(23-(tile_bits-8))
     # relative resolution break stably by slot order.
+    # payload bits: 0-28 gaussian index, 29 real-instance flag (vs filler/
+    # dead — needed to build exact per-gaussian segments for the sorted
+    # reduction backward), 30 exact-ellipse-hit flag
+    assert n < (1 << 29), "gaussian capacity exceeds payload index bits"
     dq = (r[:, 2] >> (31 - depth_bits)) & ((1 << depth_bits) - 1)
     key = (tile_id << depth_bits) | dq
-    payload = g_c | (hit.astype(jnp.int32) << 30)
+    payload = g_c | (hit.astype(jnp.int32) << 30) | (1 << 29)
     return key, payload, num_rendered, ii, v
 
 
@@ -197,7 +256,7 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
             jax.lax.shift_right_logical(skey ^ sign, depth_bits),
             num_tiles).astype(jnp.int32)
         valid1 = sorted_tile < num_tiles
-        return Binning(gauss_id=spayload & 0x3FFFFFFF, tile_of=sorted_tile,
+        return Binning(gauss_id=spayload & 0x1FFFFFFF, tile_of=sorted_tile,
                        valid=valid1, tile_ranges=tile_ranges,
                        num_rendered=jnp.minimum(num_rendered, instance_cap),
                        overflow=num_rendered > instance_cap,
@@ -248,8 +307,15 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
     key = jnp.where(is_real, key, fill_key) ^ sign
     payload = jnp.where(is_real, payload, 0)
     _, spayload = jax.lax.sort((key, payload), num_keys=1)
-    gauss_id = spayload & 0x3FFFFFFF
+    gauss_id = spayload & 0x1FFFFFFF
     hit = (spayload >> 30).astype(jnp.float32)
+    # sorted-segment-reduction support: filler/dead slots (real bit off)
+    # take the sentinel gid N and sort past seg_bounds[-1]
+    gid_reduce = jnp.where(((spayload >> 29) & 1) == 1, gauss_id, n)
+    seg_bounds = jnp.minimum(
+        jnp.concatenate([jnp.zeros(1, jnp.int32),
+                         jnp.cumsum(tiles_touched).astype(jnp.int32)]),
+        instance_cap)
 
     # chunk -> tile map: scatter tile id at each live tile's first chunk,
     # cummax broadcast; dead chunks past the live range inherit the last
@@ -266,4 +332,5 @@ def bin_gaussians(rect, depth, tiles_touched, tiles_x: int, tiles_y: int,
     return Binning(gauss_id=gauss_id, hit=hit, tile_ranges=padded_starts,
                    num_rendered=jnp.minimum(num_rendered, instance_cap),
                    overflow=overflow, tile_counts=counts,
-                   chunk_map=chunk_map, n_live_chunks=n_live)
+                   chunk_map=chunk_map, n_live_chunks=n_live,
+                   gid_reduce=gid_reduce, seg_bounds=seg_bounds)

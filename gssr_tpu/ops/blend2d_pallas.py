@@ -36,7 +36,7 @@ from gssr_tpu.ops.blend_pallas import (
     _prefix_prod_excl_lanes,
     _prefix_sum_lanes,
     _total_prod_lanes,
-    gather_rows,
+    gather_rows_auto,
 )
 from gssr_tpu.ops.projection import TILE
 
@@ -494,7 +494,7 @@ def pack_instance_attrs_2d(mean2d, Tmat, normal, color, opacity,
     per_gauss = jnp.concatenate([
         mean2d, CA, CB, CC, Tw, opacity[:, None], color, normal,
         zeros], axis=1)
-    gathered = gather_rows(per_gauss, binning.gauss_id, 21)
+    gathered = gather_rows_auto(per_gauss, binning, 21)
     # zero filler / non-ellipse-hit lanes -> exact alpha=0 no-ops
     return (gathered * binning.hit[:, None]).T
 

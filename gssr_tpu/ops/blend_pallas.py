@@ -472,17 +472,30 @@ def _blend_core_bwd(tiles_x, tiles_y, res, cotangents):
 _blend_core.defvjp(_blend_core_fwd, _blend_core_bwd)
 
 
+def _row_gather(per_gauss, gauss_id):
+    """per_gauss[gauss_id], split into <=16-column pieces for wide tables:
+    XLA's TPU row gather falls off a cliff past 16 f32 columns on large
+    tables (measured v5e, 2.36M indices x [1.31M, C]: C=16 20ms, C=24
+    77ms); two narrow gathers re-pay the index cost but stay on the fast
+    path, a net win once the table is big."""
+    n, width = per_gauss.shape
+    if width <= 16 or n <= 1 << 19:
+        return per_gauss[gauss_id]
+    return jnp.concatenate(
+        [per_gauss[:, c:c + 16][gauss_id] for c in range(0, width, 16)],
+        axis=1)
+
+
 @functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def gather_rows(per_gauss, gauss_id, n_used):
     """per_gauss[gauss_id] with a VJP that scatter-adds only the first
     n_used columns (any remaining columns are structurally zero-gradient
-    padding rows; the instance-count-sized scatter-add is a top bwd cost,
-    so narrowing its width matters)."""
-    return per_gauss[gauss_id]
+    padding rows)."""
+    return _row_gather(per_gauss, gauss_id)
 
 
 def _gather_rows_fwd(per_gauss, gauss_id, n_used):
-    return per_gauss[gauss_id], (per_gauss.shape[0], gauss_id)
+    return _row_gather(per_gauss, gauss_id), (per_gauss.shape[0], gauss_id)
 
 
 def _gather_rows_bwd(n_used, res, dg):
@@ -498,6 +511,53 @@ def _gather_rows_bwd(n_used, res, dg):
 gather_rows.defvjp(_gather_rows_fwd, _gather_rows_bwd)
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(4,))
+def gather_rows_segred(per_gauss, gauss_id, gid_reduce, seg_bounds, n_used):
+    """per_gauss[gauss_id] whose VJP is the sorted segment reduction
+    (binning.segment_reduce_sorted) instead of a scatter-add. XLA's TPU
+    scatter-add costs ~180ns per OUTPUT ROW (see segment_reduce_sorted),
+    so for payloads whose per-gaussian table is large — scaffold/octree
+    decode emits millions of rows — the sort-based reduction, whose cost
+    scales with the instance count instead, wins by multiples."""
+    return _row_gather(per_gauss, gauss_id)
+
+
+def _grs_fwd(per_gauss, gauss_id, gid_reduce, seg_bounds, n_used):
+    return _row_gather(per_gauss, gauss_id), (per_gauss.shape, gauss_id,
+                                              gid_reduce, seg_bounds)
+
+
+def _grs_bwd(n_used, res, dg):
+    from gssr_tpu.ops.binning import segment_reduce_sorted
+    (n, width), gauss_id, gid_reduce, seg_bounds = res
+    dpg = segment_reduce_sorted(dg[:, :n_used], gid_reduce, seg_bounds)
+    if width > n_used:
+        dpg = jnp.concatenate(
+            [dpg, jnp.zeros((n, width - n_used), dg.dtype)], axis=1)
+    f0 = lambda x: np.zeros(x.shape, jax.dtypes.float0)
+    return dpg, f0(gauss_id), f0(gid_reduce), f0(seg_bounds)
+
+
+gather_rows_segred.defvjp(_grs_fwd, _grs_bwd)
+
+
+def gather_rows_auto(per_gauss, binning: Binning, n_used):
+    """Pick the per-gaussian gradient-reduction strategy from the measured
+    v5e cost model: scatter-add ~ 180ns x N table rows; sorted segment
+    reduction ~ 1.45ns x (n_used + 1 sort operands) x instance capacity.
+    Both cross over around N ~ I x C / 124; below it (vanilla's compact
+    gaussian table) the scatter wins, above it (scaffold/octree decode
+    tables) the sort does."""
+    n = per_gauss.shape[0]
+    i_cap = binning.gauss_id.shape[0]
+    if (binning.gid_reduce is not None
+            and n * 180.0 > i_cap * (n_used + 1) * 1.45):
+        return gather_rows_segred(per_gauss, binning.gauss_id,
+                                  binning.gid_reduce, binning.seg_bounds,
+                                  n_used)
+    return gather_rows(per_gauss, binning.gauss_id, n_used)
+
+
 def pack_instance_attrs(mean2d, conic, color, opacity, binning: Binning):
     """Gather per-gaussian attrs into the sorted-instance layout
     [NUM_ATTRS, I]. One packed [N, A] gather (TPU random gathers are slow;
@@ -509,7 +569,7 @@ def pack_instance_attrs(mean2d, conic, color, opacity, binning: Binning):
     per_gauss = jnp.concatenate([
         mean2d, conic, opacity[:, None], color,
         jnp.zeros((n, NUM_ATTRS - LIVE_ATTRS), jnp.float32)], axis=1)
-    gathered = gather_rows(per_gauss, binning.gauss_id, LIVE_ATTRS)
+    gathered = gather_rows_auto(per_gauss, binning, LIVE_ATTRS)
     return (gathered * binning.hit[:, None]).T                  # [16, I]
 
 

@@ -39,7 +39,7 @@ from gssr_tpu.ops.blend_pallas import (
     _prefix_prod_excl_lanes,
     _prefix_sum_lanes,
     _total_prod_lanes,
-    gather_rows,
+    gather_rows_auto,
 )
 from gssr_tpu.ops.projection import TILE
 
@@ -319,8 +319,10 @@ def pack_instance_attrs_pgsr(mean2d, conic, color, opacity, normal, distance,
     per_gauss = jnp.concatenate([
         mean2d, conic, opacity[:, None], color, normal, distance[:, None],
         obs_dummy, abs_dummy], axis=1)
-    # zero filler / non-ellipse-hit lanes -> exact alpha=0 no-ops
-    return (per_gauss[binning.gauss_id] * binning.hit[:, None]).T
+    # zero filler / non-ellipse-hit lanes -> exact alpha=0 no-ops; the
+    # gradient reduction scatters/sorts ALL 16 columns (P_OBS/P_ABS ride it)
+    return (gather_rows_auto(per_gauss, binning, NUM_ATTRS_P)
+            * binning.hit[:, None]).T
 
 
 class PlanarMaps:

@@ -97,3 +97,58 @@ def test_early_termination_dense_overdraw(rng):
     pal = render("pallas", scene, cam, 16, 16)
     np.testing.assert_allclose(np.asarray(pal.image), np.asarray(ref.image),
                                atol=1e-4, rtol=1e-3)
+
+
+def test_segred_reduction_matches_scatter(rng):
+    """gather_rows_segred's sorted-segment VJP must equal the scatter-add
+    VJP exactly (same per-gaussian sums, f32-deterministic)."""
+    import jax
+    from gssr_tpu.ops.rasterize import rasterize
+
+    # many gaussians + small instance cap => gather_rows_auto picks the
+    # sorted-segment strategy (n*180 > cap*(C+1)*1.45)
+    n = 4096
+    cam = make_camera(w=48, h=32)
+    means = jnp.asarray(np.random.default_rng(7).uniform(-1.5, 1.5, (n, 3)),
+                        jnp.float32)
+    scales = jnp.full((n, 3), 0.03, jnp.float32)
+    rots = jnp.tile(jnp.asarray([[1.0, 0, 0, 0]], jnp.float32), (n, 1))
+    opac = jnp.full((n,), 0.5, jnp.float32)
+    colors = jnp.asarray(np.random.default_rng(8).uniform(0, 1, (n, 3)),
+                         jnp.float32)
+    camarr = cam.arrays()
+    tgt = jnp.asarray(np.random.default_rng(9).uniform(0, 1, (32, 48, 3)),
+                      jnp.float32)
+
+    from gssr_tpu.ops import blend_pallas as BP
+
+    def loss(force, *p):
+        if force is not None:
+            orig = BP.gather_rows_auto
+
+            def forced(per_gauss, binning, n_used):
+                if force == "scatter":
+                    return BP.gather_rows(per_gauss, binning.gauss_id,
+                                          n_used)
+                return BP.gather_rows_segred(
+                    per_gauss, binning.gauss_id, binning.gid_reduce,
+                    binning.seg_bounds, n_used)
+            BP.gather_rows_auto = forced
+        try:
+            out = rasterize(p[0], p[1], p[2], p[3], camarr, 48, 32,
+                            jnp.zeros(3), colors_precomp=p[4],
+                            instance_cap=8192, backend="pallas")
+            return jnp.mean(jnp.abs(out.image - tgt))
+        finally:
+            if force is not None:
+                BP.gather_rows_auto = orig
+
+    args = (means, scales, rots, opac, colors)
+    g_sc = jax.jit(jax.grad(lambda *p: loss("scatter", *p),
+                            argnums=(0, 3, 4)))(*args)
+    g_sg = jax.jit(jax.grad(lambda *p: loss("segred", *p),
+                            argnums=(0, 3, 4)))(*args)
+    for a, b in zip(g_sc, g_sg):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   atol=1e-6, rtol=1e-5)
+    assert float(jnp.max(jnp.abs(g_sc[0]))) > 0  # gradients are non-trivial
