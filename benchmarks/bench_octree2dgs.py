@@ -70,7 +70,7 @@ def main():
          {"W": W, "H": H, "n_anchors": int(state.n_active),
           "levels": int(np.asarray(state.level).max()) + 1,
           "num_rendered": int(nrend), "step_ms": round(dt * 1e3, 2),
-          "loss": float(loss)})
+          "loss": float(loss)}, family="octree-2dgs")
 
 
 if __name__ == "__main__":

@@ -64,7 +64,7 @@ def main():
     emit("pgsr_multiview_fwd_bwd_mpix_per_s", 2 * (W * H / 1e6) / dt,
          {"W": W, "H": H, "renders_per_step": 2,
           "num_rendered": int(nrend), "step_ms": round(dt * 1e3, 2),
-          "loss": float(loss)})
+          "loss": float(loss)}, family="pgsr")
 
 
 if __name__ == "__main__":

@@ -57,7 +57,7 @@ def main():
     emit("scaffold_decode_render_mpix_per_s", (W * H / 1e6) / dt,
          {"W": W, "H": H, "n_anchors": int(state.n_active),
           "num_rendered": int(nrend), "step_ms": round(dt * 1e3, 2),
-          "loss": float(loss)})
+          "loss": float(loss)}, family="scaffold")
 
 
 if __name__ == "__main__":

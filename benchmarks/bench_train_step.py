@@ -1,0 +1,94 @@
+#!/usr/bin/env python
+"""Full REAL trainer-step throughput (VERDICT r3 weakness #4): times the
+jitted Scene.train_step — losses incl. SSIM, Adam, densification statistics
+— for vanilla 3DGS and the north-star octree-2dgs, at bench scale.
+
+This is the honest counterpart of the reference's whole-train wall-clock
+baselines: the per-family FAMILY_BASELINE_MPIX_S bars ARE train-step
+throughputs (30k iters / wall-clock), so comparing them against a
+rasterize-only microbench flatters us. This bench closes that gap.
+"""
+from __future__ import annotations
+
+import sys, os, time, json
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+sys.path.insert(0, os.path.join(
+    os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "tests"))
+
+import numpy as np
+from benchmarks.common import W, H, FAMILY_BASELINE_MPIX_S
+
+
+def bench_method(method: str, family: str, scene_dir: str, steps: int = 20,
+                 overrides=None):
+    import dataclasses
+    import jax
+    from gssr_tpu.configs.methods import get_method_config
+
+    from gssr_tpu.configs.methods import build_scene
+
+    config = get_method_config(method)
+    config.source_path = scene_dir
+    cfg = config.scene
+    cfg.instance_cap = int(os.environ.get(
+        "GSSR_BENCH_CAP", 2_555_904 if method == "3dgs" else 1_966_080))
+    cfg.backend = "pallas"
+    g = cfg.gaussians
+    o = dict(overrides or {})
+    if o:
+        cfg.gaussians = dataclasses.replace(g, **o)
+    scene = build_scene(config)
+    state = scene.state
+
+    # warmup + compile at a step past any warmup-phase switches
+    step0 = 8000
+    state, metrics = scene.train_step(state, scene.dataloader.train_cameras[0],
+                                      step0)
+    jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+    cams = scene.dataloader.train_cameras
+    t0 = time.perf_counter()
+    for i in range(steps):
+        state, metrics = scene.train_step(state, cams[i % len(cams)],
+                                          step0 + 1 + i)
+    jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+    dt = (time.perf_counter() - t0) / steps
+    renders = 2 if family.endswith("pgsr") else 1
+    mpix = renders * (W * H / 1e6) / dt
+    bar = FAMILY_BASELINE_MPIX_S[family]
+    print(json.dumps({
+        "metric": f"{method}_train_step_mpix_per_s",
+        "value": round(mpix, 3),
+        "unit": "Mpix/s/chip",
+        "vs_baseline": round(mpix / bar, 3),
+        "baseline_mpix_s": bar,
+        "detail": {"W": W, "H": H, "step_ms": round(dt * 1e3, 2),
+                   "steps": steps,
+                   "n_active": int(state.n_active),
+                   "loss": float(metrics["loss"])},
+    }), flush=True)
+    return mpix
+
+
+def main():
+    import tempfile
+    from synthetic import write_synthetic_colmap_scene
+
+    scene_dir = tempfile.mkdtemp(prefix="bench_train_")
+    # bench-scale frames; the SfM point count sets a mid-training gaussian
+    # population comparable to the rasterize microbenches (200k splats /
+    # tens of thousands of anchors)
+    n_pts = int(os.environ.get("GSSR_BENCH_PTS", 200_000))
+    write_synthetic_colmap_scene(scene_dir, n_cams=4, n_pts=n_pts,
+                                 width=W, height=H, gt_mode="noise")
+
+    methods = os.environ.get("GSSR_BENCH_METHODS",
+                             "3dgs,octree-2dgs").split(",")
+    for m in methods:
+        fam = {"3dgs": "3dgs", "2dgs": "2dgs", "pgsr": "pgsr",
+               "scaffold-gs": "scaffold", "octree-gs": "octree"}.get(
+                   m, m if m in FAMILY_BASELINE_MPIX_S else "3dgs")
+        bench_method(m, fam, scene_dir)
+
+
+if __name__ == "__main__":
+    main()

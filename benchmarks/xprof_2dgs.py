@@ -1,17 +1,9 @@
 #!/usr/bin/env python
-"""BASELINE config #2: 2DGS surfel rasterize fwd+bwd with the full aux-loss
-head (depth distortion + depth->normal consistency), one chip.
-
-Reference workload: diff-surfel-rasterization through TwoDGSScene
-(reference gssr/scene/twodgs_scene.py:22-127).
-"""
-from __future__ import annotations
-
+"""Op-level profile of the full 2DGS bench step (one compile + xplane)."""
 import sys, os
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
-
-import numpy as np
-from benchmarks.common import W, H, make_camera, make_cloud, time_step, emit
+from benchmarks.common import W, H, make_camera, make_cloud
+from benchmarks.xprof import profile_op_table, print_table
 
 
 def main():
@@ -20,7 +12,6 @@ def main():
     from gssr_tpu.ops.rasterize2d import rasterize_2d
     from gssr_tpu.scene.twodgs import surfel_reg_losses
 
-    # tight: the workload pads to ~1.9M chunk-aligned instances
     CAP = 1_966_080
     cloud = make_cloud()
     cam = make_camera()
@@ -40,13 +31,9 @@ def main():
                                       has_aux=True))
     args = (cloud["means"], scales2, cloud["rots"], cloud["opac"],
             cloud["sh"])
-    dt = time_step(step, args,
-                   readback=lambda o: float(o[0][0]))
-    (loss, nrend), _ = step(*args)
-    emit("surfel_fwd_bwd_mpix_per_s", (W * H / 1e6) / dt,
-         {"W": W, "H": H, "num_rendered": int(nrend),
-          "step_ms": round(dt * 1e3, 2), "loss": float(loss)},
-         family="2dgs")
+    rows = profile_op_table(step, args, iters=3, top=40,
+                            readback=lambda o: float(o[0][0]))
+    print_table(rows, "2dgs full step per-op (ms/iter)")
 
 
 if __name__ == "__main__":

@@ -116,3 +116,54 @@ def load_gs_sr_mlp_checkpoint(path: str, mlp):
                 f"config shape {tuple(cur.shape)} — check feat_dim/"
                 f"n_offsets/appearance_dim/view_dim against the GS-SR run")
     return mlp._replace(**updates)
+
+
+def _torch_linear_sd(w1, b1, w2, b2):
+    """MLPParams pair -> torch Sequential(Linear,ReLU,Linear[,act])
+    state-dict keys (inverse transpose of _pair)."""
+    import torch
+
+    def t(x):
+        return torch.from_numpy(np.asarray(x, np.float32))
+
+    from collections import OrderedDict
+    return OrderedDict([
+        ("0.weight", t(w1).T.contiguous()), ("0.bias", t(b1)),
+        ("2.weight", t(w2).T.contiguous()), ("2.bias", t(b2)),
+    ])
+
+
+def save_gs_sr_mlp_checkpoint(path: str, mlp, use_feat_bank: bool = False):
+    """Export MLPParams as the reference's unite-mode `checkpoints.pth`
+    (/root/reference/gssr/gaussian/scaffold_gaussian.py:768-789), so a
+    scaffold/octree model trained HERE can be loaded by the CUDA
+    ecosystem's load_mlp_checkpoints. Inverse of
+    load_gs_sr_mlp_checkpoint: import(export(x)) == x exactly.
+
+    The appearance embedding is included whenever it has nonzero width
+    (matching the reference's `appearance_dim > 0` branch); the feature
+    bank only when use_feat_bank (the reference traces it only then).
+    Returns the written file path.
+    """
+    import torch
+
+    ckpt = {
+        "opacity_mlp": _torch_linear_sd(mlp.op_w1, mlp.op_b1,
+                                        mlp.op_w2, mlp.op_b2),
+        "cov_mlp": _torch_linear_sd(mlp.cov_w1, mlp.cov_b1,
+                                    mlp.cov_w2, mlp.cov_b2),
+        "color_mlp": _torch_linear_sd(mlp.col_w1, mlp.col_b1,
+                                      mlp.col_w2, mlp.col_b2),
+    }
+    if use_feat_bank:
+        ckpt["feature_bank_mlp"] = _torch_linear_sd(
+            mlp.fb_w1, mlp.fb_b1, mlp.fb_w2, mlp.fb_b2)
+    if mlp.appearance.shape[1] > 0:
+        from collections import OrderedDict
+        ckpt["appearance"] = OrderedDict([
+            ("embedding.weight",
+             torch.from_numpy(np.asarray(mlp.appearance, np.float32)))])
+    os.makedirs(path, exist_ok=True)
+    out = os.path.join(path, "checkpoints.pth")
+    torch.save(ckpt, out)
+    return out

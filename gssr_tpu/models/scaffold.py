@@ -15,6 +15,7 @@ sort/hash voxel dedup (ops/voxel.py) and rank-scatter into free slots.
 from __future__ import annotations
 
 import dataclasses
+import os
 from typing import NamedTuple, Optional
 
 import jax
@@ -609,6 +610,17 @@ class ScaffoldGaussians:
         leaves = {f"mlp_{f}": np.asarray(getattr(state.mlp, f))
                   for f in MLPParams._fields}
         np.savez(path, **leaves)
+        # GS-SR interop: also write the reference's unite-mode
+        # checkpoints.pth next to the npz so the CUDA ecosystem's
+        # load_mlp_checkpoints can consume models trained here
+        # (scaffold_gaussian.py:768-789); skipped when torch is absent.
+        try:
+            from gssr_tpu.models.interop import save_gs_sr_mlp_checkpoint
+            save_gs_sr_mlp_checkpoint(
+                os.path.dirname(os.path.abspath(path)), state.mlp,
+                use_feat_bank=self.config.use_feat_bank)
+        except ImportError:
+            pass
 
     def load_mlp_checkpoints(self, state: ScaffoldState, path: str):
         data = np.load(path)

@@ -12,7 +12,8 @@ Gradient story: with the full-frame loss computed replicated on every
 device after the all_gather, the VJP of all_gather (a psum_scatter) hands
 each device n_band x the true cotangent for its band; `pmean` of the
 resulting per-gaussian gradients over the band axis therefore equals the
-exact single-device gradient. (See parallel/scene_parallel.py.)
+exact single-device gradient. (Wired up in scene/vanilla.py
+setup_parallel / _build_step_fn.)
 
 Replaces the reference's... nothing: the CUDA build has no intra-job
 parallelism at all (reference train.py:78-80 refuses world_size > 1).

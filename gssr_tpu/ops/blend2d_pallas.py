@@ -35,7 +35,6 @@ from gssr_tpu.ops.blend_pallas import (
     _pixel_cols,
     _prefix_prod_excl_lanes,
     _prefix_sum_lanes,
-    _total_prod_lanes,
     gather_rows_auto,
 )
 from gssr_tpu.ops.projection import TILE
@@ -63,12 +62,14 @@ A_RGB = 15        # 15-17
 A_NRM = 18        # 18-20
 NUM_ATTRS2 = 24
 
-# output columns
+# output columns: rgb+normal lead as one contiguous 6-block so the forward
+# accumulates them with a single (PIX,CHUNK)@(CHUNK,6) MXU matmul and the
+# backward reads their cotangents as one (PIX,6) slice
 O_RGB = 0         # 0-2
-O_T = 3
-O_D = 4
-O_NRM = 5         # 5-7
-O_DIST = 8
+O_NRM = 3         # 3-5
+O_D = 6
+O_DIST = 7
+O_T = 8
 O_MED = 9
 O_SELPOS = 10
 O_MEDNRM = 11     # 11-13
@@ -152,7 +153,8 @@ def _fwd2_kernel(tiles_x, num_tiles, ranges_ref, attrs_ref, out_ref,
         a, aux = _surfel_alpha(A, px, py)
         one_m = 1.0 - a
         pfx = _prefix_prod_excl_lanes(one_m)
-        d_before = state_ref[:, 0:1] * pfx
+        d0 = state_ref[:, 0:1]
+        d_before = d0 * pfx
         d_inc = d_before * one_m
         contrib = (a > 0.0) & (d_inc >= T_EPS)
         w = jnp.where(contrib, a * d_before, 0.0)
@@ -160,48 +162,58 @@ def _fwd2_kernel(tiles_x, num_tiles, ranges_ref, attrs_ref, out_ref,
         depth = aux["depth"]
         m = aux["m"]
         wm = w * m
-        # distortion: per-instance prefix accumulators (exclusive)
-        A_bef = 1.0 - d_before
-        M1_bef = state_ref[:, 2:3] + _prefix_sum_lanes(wm, True)
-        M2_bef = state_ref[:, 3:4] + _prefix_sum_lanes(wm * m, True)
-        acc_ref[:, O_DIST:O_DIST + 1] += jnp.sum(
-            (m * m * A_bef + M2_bef - 2.0 * m * M1_bef) * w,
-            axis=1, keepdims=True)
-        acc_ref[:, O_D:O_D + 1] += jnp.sum(w * depth, axis=1,
-                                           keepdims=True)
-        for ci in range(3):
-            acc_ref[:, O_RGB + ci:O_RGB + ci + 1] += jnp.sum(
-                w * A[A_RGB + ci:A_RGB + ci + 1, :], axis=1,
-                keepdims=True)
-            acc_ref[:, O_NRM + ci:O_NRM + ci + 1] += jnp.sum(
-                w * A[A_NRM + ci:A_NRM + ci + 1, :], axis=1,
-                keepdims=True)
+        # rgb+normal accumulation: ONE (PIX,CHUNK)@(CHUNK,6) MXU matmul
+        # instead of 6 lane reductions; HIGHEST keeps f32 accuracy
+        # (Mosaic supports only DEFAULT and HIGHEST dot precisions)
+        acc_ref[:, O_RGB:O_RGB + 6] += jax.lax.dot_general(
+            w, A[A_RGB:A_NRM + 3, :], (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)
 
         # median (last contributing instance with blend-T > 0.5)
         med_mask = contrib & (d_before > 0.5)
         idx1 = jnp.max(jnp.where(med_mask, gidx + 1, 0), axis=1,
                        keepdims=True)                       # (PIX, 1)
         has = idx1 > 0
-        onehot = (gidx + 1) == idx1
-        sel_depth = jnp.sum(jnp.where(onehot, depth, 0.0), axis=1,
-                            keepdims=True)
+        ohf = jnp.where((gidx + 1) == idx1, 1.0, 0.0)
+        sel_n = jax.lax.dot_general(
+            ohf, A[A_NRM:A_NRM + 3, :], (((1,), (1,)), ((), ())),
+            precision=jax.lax.Precision.HIGHEST,
+            preferred_element_type=jnp.float32)             # (PIX, 3)
+        acc_ref[:, O_MEDNRM:O_MEDNRM + 3] = jnp.where(
+            has, sel_n, acc_ref[:, O_MEDNRM:O_MEDNRM + 3])
+
+        # distortion: per-instance prefix accumulators. The EXCLUSIVE
+        # prefixes feed the distortion term, and their last INCLUSIVE
+        # column is the chunk total — the M1/M2 state updates come free
+        # out of the same shift-add chains (no extra reduction).
+        A_bef = 1.0 - d_before
+        wmm = wm * m
+        pfx_wm = _prefix_sum_lanes(wm, False)               # inclusive
+        pfx_wmm = _prefix_sum_lanes(wmm, False)
+        M1_bef = state_ref[:, 2:3] + pfx_wm - wm
+        M2_bef = state_ref[:, 3:4] + pfx_wmm - wmm
+        distt = (m * m * A_bef + M2_bef - 2.0 * m * M1_bef) * w
+        acc_ref[:, O_D:O_D + 1] += jnp.sum(w * depth, axis=1,
+                                           keepdims=True)
+        acc_ref[:, O_DIST:O_DIST + 1] += jnp.sum(distt, axis=1,
+                                                 keepdims=True)
+        state_ref[:, 2:3] += pfx_wm[:, -1:]
+        state_ref[:, 3:4] += pfx_wmm[:, -1:]
         acc_ref[:, O_MED:O_MED + 1] = jnp.where(
-            has, sel_depth, acc_ref[:, O_MED:O_MED + 1])
+            has, jnp.sum(ohf * depth, axis=1, keepdims=True),
+            acc_ref[:, O_MED:O_MED + 1])
         acc_ref[:, O_SELPOS:O_SELPOS + 1] = jnp.where(
             has, (k * CHUNK + idx1 - 1).astype(jnp.float32),
             acc_ref[:, O_SELPOS:O_SELPOS + 1])
-        for ci in range(3):
-            sel_n = jnp.sum(
-                jnp.where(onehot, A[A_NRM + ci:A_NRM + ci + 1, :], 0.0),
-                axis=1, keepdims=True)
-            acc_ref[:, O_MEDNRM + ci:O_MEDNRM + ci + 1] = jnp.where(
-                has, sel_n, acc_ref[:, O_MEDNRM + ci:O_MEDNRM + ci + 1])
 
-        state_ref[:, 2:3] += jnp.sum(wm, axis=1, keepdims=True)
-        state_ref[:, 3:4] += jnp.sum(wm * m, axis=1, keepdims=True)
-        state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:] * one_m[:, -1:])
-        state_ref[:, 1:2] = state_ref[:, 1:2] * _total_prod_lanes(
-            jnp.where(contrib, one_m, 1.0))
+        # blended-only transmittance via the min-of-d_inc identity (see
+        # blend_pallas chunk_step) — no second prefix product
+        mind = jnp.min(jnp.where(contrib, d_inc, 3.0e38), axis=1,
+                       keepdims=True)
+        state_ref[:, 0:1] = d0 * (pfx[:, -1:] * one_m[:, -1:])
+        state_ref[:, 1:2] = state_ref[:, 1:2] * jnp.where(
+            mind < 3.0e38, mind / jnp.maximum(d0, 1e-30), 1.0)
 
     @pl.when(nchunks > 0)
     def _():
@@ -302,13 +314,7 @@ def _bwd2_kernel(tiles_x, cmap_ref, nlive_ref, ranges_ref, attrs_ref,
             total_wb = total_base + ddist * 2.0 * (S0 * S2 - S1 * S1)
             bgterm = final_T * dT
 
-            def base_of(A, aux):
-                b = aux["depth"] * dD
-                for ci in range(3):
-                    b += A[A_RGB + ci:A_RGB + ci + 1, :] * dC[:, ci:ci + 1]
-                    b += A[A_NRM + ci:A_NRM + ci + 1, :] * dN[:, ci:ci + 1]
-                return b
-
+            dCN = jnp.concatenate([dC, dN], axis=1)       # (PIX, 6)
             A = attrs_ref[:, :]
             a, aux = _surfel_alpha(A, px, py)
             one_m = 1.0 - a
@@ -317,7 +323,14 @@ def _bwd2_kernel(tiles_x, cmap_ref, nlive_ref, ranges_ref, attrs_ref,
             contrib = (a > 0.0) & (d_before * one_m >= T_EPS)
             w = jnp.where(contrib, a * d_before, 0.0)
             m = aux["m"]
-            beta = base_of(A, aux) + ddist * (
+            # u[p,i] for the rgb+normal channels as one (PIX,6)@(6,CHUNK)
+            # MXU matmul; depth and distortion terms are per-(pixel,
+            # instance) and stay elementwise
+            base = aux["depth"] * dD + jax.lax.dot_general(
+                dCN, A[A_RGB:A_NRM + 3, :], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            beta = base + ddist * (
                 m * m * S0 + S2 - 2.0 * m * S1)
             wbeta = w * beta
             prefix_inc = state_ref[:, 5:6] + _prefix_sum_lanes(wbeta, False)
@@ -351,27 +364,51 @@ def _bwd2_kernel(tiles_x, cmap_ref, nlive_ref, ranges_ref, attrs_ref,
             gp1 = gs1 * inv_pz
             gp2 = -(aux["s0"] * gs0 + aux["s1"] * gs1) * inv_pz
 
-            sm = lambda v: jnp.sum(v, axis=0, keepdims=True)
-            gps = (gp0, gp1, gp2)
-            extras = (gdepth * jnp.where(is3d, aux["s0"], 0.0),
-                      gdepth * jnp.where(is3d, aux["s1"], 0.0),
-                      gdepth)
-            # rows in A_* order: xy(2) CA(3) CB(3) CC(3) tw(3) op rgb(3)
-            # nrm(3)
-            rows = ([sm(g2d * 4.0 * aux["dx"]), sm(g2d * 4.0 * aux["dy"])]
-                    + [sm(gpi) for gpi in gps]
-                    + [sm(-px * gpi) for gpi in gps]
-                    + [sm(-py * gpi) for gpi in gps]
-                    + [sm(extras[j]) for j in range(3)]
-                    + [sm(da_eff * aux["g_exp"])]
-                    + [sm(w * dC[:, ci:ci + 1]) for ci in range(3)]
-                    + [sm(w * dN[:, ci:ci + 1]) for ci in range(3)])
+            e0 = gdepth * jnp.where(is3d, aux["s0"], 0.0)
+            e1 = gdepth * jnp.where(is3d, aux["s1"], 0.0)
+            opterm = da_eff * aux["g_exp"]
+            # ONE fused MXU contraction over pixels replaces all 21 sublane
+            # reductions: lhs basis = [1, pxl, pyl, dC, dN] (PIX, 9) in the
+            # tile-LOCAL frame (see blend_pallas._bwd_kernel for the
+            # cancellation rationale), rhs = nine lane-concatenated blocks.
+            # Block j of the (9, 9*CHUNK) result holds sum_p basis_r * X_j:
+            #   gp0..gp2 -> rows 0-2 give the CA/CB/CC moments,
+            #   g2d      -> rows 0-2 give the xy (low-pass mean) moments,
+            #   e0,e1,gdepth,opterm -> row 0 gives the tw/op plain sums,
+            #   w        -> rows 3-8 give the rgb/nrm channel rows.
+            ox = px[0:1, :]
+            oy = py[0:1, :]
+            pxl = px - ox
+            pyl = py - oy
+            basis = jnp.concatenate(
+                [jnp.ones_like(pxl), pxl, pyl, dCN], axis=1)   # (PIX, 9)
+            G = jnp.concatenate(
+                [gp0, gp1, gp2, g2d, e0, e1, gdepth, opterm, w], axis=1)
+            R = jax.lax.dot_general(
+                basis, G, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)        # (9, 9*CHUNK)
+            blk = lambda j: R[:, j * CHUNK:(j + 1) * CHUNK]
+            Rgp = [blk(0), blk(1), blk(2)]
+            Rg2 = blk(3)
+            # xy rows: sum(g2d*4*dx) with dx = mean_x - px expands in the
+            # local frame to 4*((mean_x - ox)*s0 - sum(pxl*g2d))
+            mxa = r(A_XY) - ox
+            mya = r(A_XY + 1) - oy
+            rows = (
+                [4.0 * (mxa * Rg2[0:1] - Rg2[1:2]),
+                 4.0 * (mya * Rg2[0:1] - Rg2[2:3])]
+                + [Rgp[j][0:1] for j in range(3)]                   # CA
+                + [-(ox * Rgp[j][0:1] + Rgp[j][1:2]) for j in range(3)]
+                + [-(oy * Rgp[j][0:1] + Rgp[j][2:3]) for j in range(3)]
+                + [blk(4)[0:1], blk(5)[0:1], blk(6)[0:1]]           # tw
+                + [blk(7)[0:1]]                                     # op
+                + [blk(8)[3:9]])                         # rgb+nrm (6 rows)
             dattr_ref[:, :] = jnp.concatenate(
                 rows + [jnp.zeros((NUM_ATTRS2 - 21, CHUNK), jnp.float32)],
                 axis=0)
 
-            state_ref[:, 5:6] = state_ref[:, 5:6] + jnp.sum(
-                wbeta, axis=1, keepdims=True)
+            state_ref[:, 5:6] = prefix_inc[:, -1:]
             state_ref[:, 0:1] = state_ref[:, 0:1] * (pfx[:, -1:]
                                                      * one_m[:, -1:])
 
@@ -510,6 +547,7 @@ class SurfelMaps:
         self.dist = rows[..., O_DIST]
         self.median_depth = rows[..., O_MED]
         self.median_normal = rows[..., O_MEDNRM:O_MEDNRM + 3]
+        self.median_contrib = rows[..., O_SELPOS]   # sorted-inst idx, -1=none
 
 
 def blend2d_pallas(mean2d, Tmat, normal, color, opacity, binning: Binning,

@@ -28,6 +28,8 @@ class Blend2DOut(NamedTuple):
     normal: jnp.ndarray       # [H,W,3] sum w*normal (camera space)
     dist: jnp.ndarray         # [H,W] depth distortion
     median_depth: jnp.ndarray  # [H,W]
+    median_normal: jnp.ndarray  # [H,W,3] normal of the median contributor
+    median_contrib: jnp.ndarray  # [H,W] sorted-instance idx (-1 = none)
 
 
 def blend2d_reference(mean2d, Tmat, normal, color, opacity, gauss_id, tile_of,
@@ -39,8 +41,9 @@ def blend2d_reference(mean2d, Tmat, normal, color, opacity, gauss_id, tile_of,
     pyf = ys.astype(jnp.float32)
 
     def step(carry, inst):
-        T, acc_c, acc_d, acc_n, dist, M1, M2, med, done = carry
-        gid, tid = inst
+        (T, acc_c, acc_d, acc_n, dist, M1, M2, med, mednrm, medidx,
+         done) = carry
+        gid, tid, pos = inst
         Tu = Tmat[gid, 0]
         Tv = Tmat[gid, 1]
         Tw = Tmat[gid, 2]
@@ -85,12 +88,15 @@ def blend2d_reference(mean2d, Tmat, normal, color, opacity, gauss_id, tile_of,
         M2 = M2 + w * m * m
         sel = contribute & (T > 0.5)
         med = jnp.where(sel, depth, med)
+        mednrm = jnp.where(sel[..., None], nrm, mednrm)
+        medidx = jnp.where(sel, pos.astype(jnp.float32), medidx)
         acc_d = acc_d + w * depth
         acc_n = acc_n + w[..., None] * nrm
         acc_c = acc_c + w[..., None] * col
         T = jnp.where(contribute, test_T, T)
         done = done | would_cut
-        return (T, acc_c, acc_d, acc_n, dist, M1, M2, med, done), None
+        return (T, acc_c, acc_d, acc_n, dist, M1, M2, med, mednrm,
+                medidx, done), None
 
     H, W = height, width
     init = (jnp.ones((H, W), jnp.float32),
@@ -101,8 +107,12 @@ def blend2d_reference(mean2d, Tmat, normal, color, opacity, gauss_id, tile_of,
             jnp.zeros((H, W), jnp.float32),
             jnp.zeros((H, W), jnp.float32),
             jnp.zeros((H, W), jnp.float32),
+            jnp.zeros((H, W, 3), jnp.float32),
+            -jnp.ones((H, W), jnp.float32),
             jnp.zeros((H, W), bool))
-    (T, acc_c, acc_d, acc_n, dist, _, _, med, _), _ = jax.lax.scan(
-        step, init, (gauss_id, tile_of))
+    pos = jnp.arange(gauss_id.shape[0], dtype=jnp.int32)
+    (T, acc_c, acc_d, acc_n, dist, _, _, med, mednrm, medidx, _), _ = \
+        jax.lax.scan(step, init, (gauss_id, tile_of, pos))
     return Blend2DOut(color=acc_c, final_T=T, depth_exp=acc_d, normal=acc_n,
-                      dist=dist, median_depth=med)
+                      dist=dist, median_depth=med, median_normal=mednrm,
+                      median_contrib=medidx)

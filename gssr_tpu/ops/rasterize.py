@@ -64,7 +64,8 @@ def rasterize(means3d, scales, rotations, opacity, camera,
               instance_cap: int = 1 << 18,
               backend: str = "pallas",
               mean2d_offset=None,
-              band_axis=None, band_count: int = 1) -> RenderOutput:
+              band_axis=None, band_count: int = 1,
+              gauss_shard_axis=None) -> RenderOutput:
     """Render gaussians through one camera.
 
     Args:
@@ -79,6 +80,17 @@ def rasterize(means3d, scales, rotations, opacity, camera,
       band_axis/band_count: when set (inside shard_map), each device bins
         and blends only its horizontal tile-row band; the maps are
         all_gather'd back so outputs are full-frame (ops/band.py).
+      gauss_shard_axis: when set (inside shard_map), the per-gaussian
+        inputs are each device's 1/D shard of the model state: the N-sized
+        preprocess + SH decode run shard-locally, and only the compact
+        per-gaussian screen attributes (~16 floats vs the 60+ of raw
+        state) are all_gather'd into the replicated binning/blend path
+        (SURVEY §2.3(b) gaussian sharding — per-chip HBM then holds 1/D of
+        params + Adam moments). The all_gather's VJP is a psum_scatter, so
+        each shard receives exactly its own gaussians' gradients — no
+        pmean needed. Returned radii/mean2d stay SHARD-LOCAL so
+        densification statistics update locally. Mutually exclusive with
+        band_axis.
     """
     pw, ph = pad_to_tiles(width, height)
     proj = preprocess(means3d, scales, rotations, camera, pw, ph,
@@ -95,6 +107,21 @@ def rasterize(means3d, scales, rotations, opacity, camera,
         color = colors_precomp
     else:
         color = sh_ops.sh_to_color(sh_degree, sh_coeffs, means3d, camera.campos)
+
+    opacity = opacity.reshape(-1)
+    radii_local, mean2d_local = proj.radius, proj.mean2d
+    if gauss_shard_axis is not None:
+        assert band_axis is None, \
+            "gaussian sharding and band sharding are mutually exclusive"
+        ag = lambda x: (None if x is None else jax.lax.all_gather(
+            x, gauss_shard_axis, axis=0, tiled=True))
+        proj = proj._replace(
+            mean2d=ag(proj.mean2d), conic=ag(proj.conic),
+            depth=ag(proj.depth), rect=ag(proj.rect),
+            tiles_touched=ag(proj.tiles_touched),
+            tile_mask=ag(proj.tile_mask))
+        color = ag(color)
+        opacity = ag(opacity)
 
     if band_axis is None:
         tiles_yb, render_h = ph // TILE, ph
@@ -124,7 +151,6 @@ def rasterize(means3d, scales, rotations, opacity, camera,
         pw // TILE, tiles_yb, instance_cap, chunk=chunk,
         tile_mask=mask)
 
-    opacity = opacity.reshape(-1)
     image, final_T = _blend_dispatch(mean2d_b, proj.conic, color, opacity,
                                      binning, pw, render_h, jnp.asarray(bg),
                                      backend)
@@ -137,6 +163,6 @@ def rasterize(means3d, scales, rotations, opacity, camera,
             num_rendered, overflow, band_axis)
     image = image[:height, :width]
     final_T = final_T[:height, :width]
-    return RenderOutput(image=image, final_T=final_T, radii=proj.radius,
-                        mean2d=proj.mean2d, num_rendered=num_rendered,
+    return RenderOutput(image=image, final_T=final_T, radii=radii_local,
+                        mean2d=mean2d_local, num_rendered=num_rendered,
                         overflow=overflow)

@@ -31,6 +31,12 @@ class Render2DOutput(NamedTuple):
     median_depth: jnp.ndarray   # [H,W]
     surf_depth: jnp.ndarray     # [H,W] depth_ratio mix
     dist: jnp.ndarray           # [H,W] distortion map
+    median_normal: jnp.ndarray  # [H,W,3] camera-space normal of the median
+                                # contributor (reference allmap
+                                # MIDNORMAL_OFFSET, auxiliary.h:29)
+    median_contrib: jnp.ndarray  # [H,W] backend-ordered sorted-instance
+                                 # index of the median contributor, -1 =
+                                 # none (reference MIDIDX_OFFSET)
     radii: jnp.ndarray          # [N]
     mean2d: jnp.ndarray         # [N,2]
     num_rendered: jnp.ndarray
@@ -107,7 +113,7 @@ def rasterize_2d(means3d, scales2, rotations, opacity, camera,
         maps = SimpleNamespace(**{
             f: band_ops.gather_bands(getattr(maps, f), band_axis)
             for f in ("color", "final_T", "depth_exp", "normal", "dist",
-                      "median_depth")})
+                      "median_depth", "median_normal", "median_contrib")})
         num_rendered, overflow = band_ops.merge_flags(
             num_rendered, overflow, band_axis)
 
@@ -127,5 +133,7 @@ def rasterize_2d(means3d, scales2, rotations, opacity, camera,
         image=image, final_T=final_T, alpha=alpha, normal=normal_world,
         depth_expected=depth_expected, median_depth=median_depth,
         surf_depth=surf_depth, dist=crop(maps.dist),
+        median_normal=crop(maps.median_normal),
+        median_contrib=crop(maps.median_contrib),
         radii=proj.radius, mean2d=proj.mean2d,
         num_rendered=num_rendered, overflow=overflow)

@@ -70,7 +70,9 @@ class TwoDGSScene(VanillaScene):
 
     def render_params(self, params, camera, sh_degree: int, active, bg,
                       mean2d_offset=None, band_axis=None,
-                      band_count: int = 1):
+                      band_count: int = 1, gauss_shard_axis=None):
+        assert gauss_shard_axis is None, \
+            "gshard is prototyped on the vanilla payload only"
         g = self.gaussians
         out = rasterize_2d(
             params.xyz, g.get_scaling(params), g.get_rotation(params),

@@ -74,8 +74,19 @@ class VanillaScene:
         mode "band": ONE camera, its tile rows banded across devices;
                      blended maps all_gather'd so every loss sees the full
                      frame (ops/band.py), grads pmean'd.
-        State stays replicated either way, so densify/eval/checkpoint code
-        is untouched.
+        mode "gshard": the GAUSSIAN STATE (params + Adam moments + stats)
+                     is sharded 1/D per chip along the capacity axis
+                     (SURVEY §2.3(b)); preprocess + SH decode run
+                     shard-locally and only the compact screen attributes
+                     are all_gather'd into the replicated binning/blend —
+                     the scaling axis the reference lacks entirely and the
+                     one that lifts the per-chip HBM bound on model size.
+                     Gradients are exact: the all_gather VJP psum_scatters
+                     each shard its own gaussians' cotangents.
+        In dp/band modes state stays replicated, so densify/eval/
+        checkpoint code is untouched; gshard shards it via the step's
+        shard_map specs (densify runs under plain jit, where GSPMD
+        handles the sharded state).
         """
         from jax.sharding import Mesh
         devices = list(devices if devices is not None else jax.devices())
@@ -87,6 +98,17 @@ class VanillaScene:
                 raise ValueError(
                     f"band mode needs the {ph // TILE} tile rows to divide "
                     f"evenly over {len(devices)} devices")
+        elif mode == "gshard":
+            if type(self).__name__ != "VanillaScene":
+                raise NotImplementedError(
+                    "gshard is prototyped on VanillaScene; anchor-sharded "
+                    "scaffold/octree decode follows the same pattern "
+                    "(docs/parallelism.md)")
+            cap = self.state.params.xyz.shape[0]
+            if cap % len(devices) != 0:
+                raise ValueError(
+                    f"gshard needs capacity {cap} divisible by "
+                    f"{len(devices)} devices")
         elif mode != "dp":
             raise ValueError(f"unknown parallel mode {mode!r}")
         self._mesh = Mesh(np.asarray(devices), (self._axis,))
@@ -145,7 +167,8 @@ class VanillaScene:
     # ------------------------------------------------------------------
     def render_params(self, params, camera: CameraArrays, sh_degree: int,
                       active, bg, mean2d_offset=None,
-                      band_axis=None, band_count: int = 1):
+                      band_axis=None, band_count: int = 1,
+                      gauss_shard_axis=None):
         g = self.gaussians
         return rasterize(
             params.xyz, g.get_scaling(params), g.get_rotation(params),
@@ -157,7 +180,8 @@ class VanillaScene:
             instance_cap=self.config.instance_cap,
             backend=self.config.backend,
             mean2d_offset=mean2d_offset,
-            band_axis=band_axis, band_count=band_count)
+            band_axis=band_axis, band_count=band_count,
+            gauss_shard_axis=gauss_shard_axis)
 
     def loss_terms(self, out, gt, camera_extra=None, step=None):
         """Method-specific losses; subclasses override/extend."""
@@ -172,13 +196,15 @@ class VanillaScene:
                     camera: CameraArrays, gt, bg, step, par=None):
         g = self.gaussians
         band = par == "band"
+        gshard = par == "gshard"
 
         def loss_fn(params, m2d_offset):
             out = self.render_params(
                 params, camera, sh_degree, state.active, bg,
                 mean2d_offset=m2d_offset,
                 band_axis=self._axis if band else None,
-                band_count=self._n_dev if band else 1)
+                band_count=self._n_dev if band else 1,
+                gauss_shard_axis=self._axis if gshard else None)
             terms = self.loss_terms(out, gt, step=step)
             return sum(terms.values()), (out, terms)
 
@@ -186,7 +212,9 @@ class VanillaScene:
         (loss, (out, terms)), (pgrads, m2d_grad) = jax.value_and_grad(
             loss_fn, argnums=(0, 1), has_aux=True)(state.params, zeros2d)
 
-        pgrads = self._pmerge_grads(pgrads)
+        if not gshard:
+            # gshard grads are already exact per shard (all_gather VJP)
+            pgrads = self._pmerge_grads(pgrads)
         if band:
             # band-partial screen grads x n_band (all_gather VJP) -> exact
             m2d_grad = jax.lax.pmean(m2d_grad, self._axis)
@@ -224,13 +252,27 @@ class VanillaScene:
         else:
             def body(state, cam, gt, bg, step):
                 return self._train_step(sh_degree, state, cam, gt,
-                                        bg, step, par="band")
+                                        bg, step, par=par)
 
+        state_spec = P() if par != "gshard" else self._state_specs()
         fn = jax.shard_map(
             body, mesh=self._mesh,
-            in_specs=(P(), cam_spec, gt_spec, P(), P()),
-            out_specs=(P(), P()), check_vma=False)
+            in_specs=(state_spec, cam_spec, gt_spec, P(), P()),
+            out_specs=(state_spec, P()), check_vma=False)
         return jax.jit(fn, donate_argnums=(0,))
+
+    def _state_specs(self):
+        """Per-leaf PartitionSpecs sharding every capacity-axis array of
+        the state over the mesh (gshard mode); scalars stay replicated."""
+        from jax.sharding import PartitionSpec as P
+        cap = self.state.params.xyz.shape[0]
+
+        def spec(x):
+            return (P(self._axis)
+                    if getattr(x, "ndim", 0) >= 1 and x.shape[0] == cap
+                    else P())
+
+        return jax.tree.map(spec, self.state)
 
     def _batch_cameras(self, cameras):
         cam_arrays = jax.tree.map(lambda *xs: jnp.stack(xs),

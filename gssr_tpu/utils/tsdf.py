@@ -3,8 +3,8 @@
 Replaces the reference's open3d ScalableTSDFVolume integration
 (gssr/utils/mesh_utils.py:138-277): a dense voxel grid is projected into
 each depth map and updated with the standard truncated-SDF running average.
-The per-camera update is one fused jnp computation (projection + bilinear-
-free nearest sampling + masked accumulate) that XLA maps well to TPU.
+The per-camera update is one fused jnp computation (projection + bilinear
+depth/color sampling + masked accumulate) that XLA maps well to TPU.
 """
 from __future__ import annotations
 

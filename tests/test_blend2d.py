@@ -51,11 +51,18 @@ def test_forward_matches_reference(rng, n):
     ref = render("reference", scene, cam)
     pal = render("pallas", scene, cam)
     for field in ("image", "final_T", "normal", "depth_expected",
-                  "median_depth", "dist", "surf_depth", "alpha"):
+                  "median_depth", "dist", "surf_depth", "alpha",
+                  "median_normal"):
         a = np.asarray(getattr(ref, field))
         b = np.asarray(getattr(pal, field))
         np.testing.assert_allclose(b, a, atol=2e-4, rtol=1e-3,
                                    err_msg=field)
+    # the contributor INDEX is backend-ordering-specific (chunked vs flat
+    # binning), but presence must agree: a median contributor exists for
+    # exactly the same pixels
+    has_ref = np.asarray(ref.median_contrib) >= 0
+    has_pal = np.asarray(pal.median_contrib) >= 0
+    np.testing.assert_array_equal(has_pal, has_ref)
 
 
 def test_flat_disk_depth_and_normal(rng):

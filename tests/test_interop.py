@@ -90,3 +90,48 @@ def test_shape_mismatch_raises(tmp_path):
     torch.save(sd, str(tmp_path / "checkpoints.pth"))
     with pytest.raises(ValueError, match="cov_w1"):
         load_gs_sr_mlp_checkpoint(str(tmp_path), mlp)
+
+
+def test_export_import_roundtrip(tmp_path):
+    """save_gs_sr_mlp_checkpoint is the exact inverse of the importer."""
+    import jax
+    from gssr_tpu.models.interop import (load_gs_sr_mlp_checkpoint,
+                                         save_gs_sr_mlp_checkpoint)
+
+    g, state = _make_mlp(dict(appearance_dim=6))
+    mlp = state.mlp
+    out = save_gs_sr_mlp_checkpoint(str(tmp_path / "pc"), mlp)
+    assert os.path.basename(out) == "checkpoints.pth"
+    back = load_gs_sr_mlp_checkpoint(str(tmp_path / "pc"), mlp)
+    for name in mlp._fields:
+        if name.startswith("fb_"):
+            continue  # not exported without use_feat_bank
+        np.testing.assert_array_equal(np.asarray(getattr(back, name)),
+                                      np.asarray(getattr(mlp, name)),
+                                      err_msg=name)
+
+
+def test_export_loads_like_reference(tmp_path):
+    """The exported checkpoints.pth round-trips through torch Sequentials
+    shaped exactly like the reference's load_state_dict path."""
+    from gssr_tpu.models.interop import save_gs_sr_mlp_checkpoint
+
+    g, state = _make_mlp(dict(appearance_dim=0))
+    mlp = state.mlp
+    save_gs_sr_mlp_checkpoint(str(tmp_path), mlp, use_feat_bank=True)
+    ckpt = torch.load(str(tmp_path / "checkpoints.pth"),
+                      weights_only=True)
+    assert set(ckpt) == {"opacity_mlp", "cov_mlp", "color_mlp",
+                         "feature_bank_mlp"}
+    mods = _ref_sequentials(mlp)
+    for key, mod in mods.items():
+        mod.load_state_dict(ckpt[key])       # reference load path
+    x = torch.from_numpy(
+        np.random.default_rng(1).normal(
+            size=(3, mlp.op_w1.shape[0])).astype(np.float32))
+    ref_out = mods["opacity_mlp"](x).detach().numpy()
+    ours = np.tanh(
+        np.maximum(np.asarray(x) @ np.asarray(mlp.op_w1)
+                   + np.asarray(mlp.op_b1), 0.0)
+        @ np.asarray(mlp.op_w2) + np.asarray(mlp.op_b2))
+    np.testing.assert_allclose(ref_out, ours, atol=1e-5)

@@ -311,3 +311,4 @@ def test_distributed_launch_noop_and_single_process():
                        cwd=os.path.dirname(os.path.dirname(
                            os.path.abspath(__file__))))
     assert r.returncode == 0 and "ok" in r.stdout, r.stderr[-2000:]
+
