@@ -34,6 +34,35 @@ def pad_to_tiles(width: int, height: int):
     return pw, ph
 
 
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def gather_shards(x, axis):
+    """all_gather(tiled) over the gaussian-shard axis with a SLICE VJP.
+
+    The built-in all_gather transpose is a psum_scatter, which SUMS the
+    per-device cotangents — correct in general, but for gshard the loss
+    (and hence the gathered array's cotangent) is replicated across the
+    axis, where the sum over-counts by the axis size. (Measured: under
+    shard_map check_vma=False the built-in transpose yields 1x or Dx
+    depending on the surrounding graph.) Every gshard consumer satisfies
+    the replicated-cotangent contract — the blend output feeds a
+    full-frame loss computed identically on every device — so the exact
+    VJP is each device slicing out its own shard's cotangent.
+    """
+    return jax.lax.all_gather(x, axis, axis=0, tiled=True)
+
+
+def _gather_shards_fwd(x, axis):
+    return gather_shards(x, axis), x.shape[0]
+
+
+def _gather_shards_bwd(axis, shard_n, cot):
+    i = jax.lax.axis_index(axis)
+    return (jax.lax.dynamic_slice_in_dim(cot, i * shard_n, shard_n, 0),)
+
+
+gather_shards.defvjp(_gather_shards_fwd, _gather_shards_bwd)
+
+
 class RenderOutput(NamedTuple):
     image: jnp.ndarray          # [H,W,3]
     final_T: jnp.ndarray        # [H,W] transmittance after blending
@@ -113,8 +142,8 @@ def rasterize(means3d, scales, rotations, opacity, camera,
     if gauss_shard_axis is not None:
         assert band_axis is None, \
             "gaussian sharding and band sharding are mutually exclusive"
-        ag = lambda x: (None if x is None else jax.lax.all_gather(
-            x, gauss_shard_axis, axis=0, tiled=True))
+        ag = lambda x: (None if x is None
+                        else gather_shards(x, gauss_shard_axis))
         proj = proj._replace(
             mean2d=ag(proj.mean2d), conic=ag(proj.conic),
             depth=ag(proj.depth), rect=ag(proj.rect),
