@@ -99,9 +99,10 @@ def _surfel_alpha(A, px, py):
     p2 = r(A_CA + 2) - px * r(A_CB + 2) - py * r(A_CC + 2)
     pz_ok = p2 != 0.0
     pz = jnp.where(pz_ok, p2, 1.0)
+    rpz = 1.0 / pz          # one reciprocal, shared with the backward
     # clamped: degenerate splats otherwise blow up the backward chain
-    s0 = jnp.clip(p0 / pz, -1e4, 1e4)
-    s1 = jnp.clip(p1 / pz, -1e4, 1e4)
+    s0 = jnp.clip(p0 * rpz, -1e4, 1e4)
+    s1 = jnp.clip(p1 * rpz, -1e4, 1e4)
     rho3d = s0 * s0 + s1 * s1
     dx = r(A_XY) - px
     dy = r(A_XY + 1) - py
@@ -117,7 +118,7 @@ def _surfel_alpha(A, px, py):
     a = jnp.where(ok, alpha, 0.0)
     safe_depth = jnp.maximum(depth, 1e-6)
     m = M_COEF * (1.0 - NEAR_N / safe_depth)
-    aux = dict(pz=pz, s0=s0, s1=s1,
+    aux = dict(rpz=rpz, s0=s0, s1=s1,
                dx=dx, dy=dy, is3d=is3d, depth=depth, safe_depth=safe_depth,
                m=m, g_exp=g_exp, raw=raw, ok=ok)
     return a, aux
@@ -359,7 +360,7 @@ def _bwd2_kernel(tiles_x, cmap_ref, nlive_ref, ranges_ref, attrs_ref,
             tw0, tw1 = r(A_TW), r(A_TW + 1)
             gs0 = g3d * 2.0 * aux["s0"] + jnp.where(is3d, gdepth * tw0, 0.0)
             gs1 = g3d * 2.0 * aux["s1"] + jnp.where(is3d, gdepth * tw1, 0.0)
-            inv_pz = 1.0 / aux["pz"]
+            inv_pz = aux["rpz"]
             gp0 = gs0 * inv_pz
             gp1 = gs1 * inv_pz
             gp2 = -(aux["s0"] * gs0 + aux["s1"] * gs1) * inv_pz
