@@ -54,6 +54,10 @@ def main():
     args = ap.parse_args()
 
     import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # sitecustomize pins the axon TPU plugin over the env var; honor
+        # an explicit CPU request (virtual-mesh validation runs)
+        jax.config.update("jax_platforms", "cpu")
     n_dev = len(jax.devices())
 
     scene_dir = args.scene_dir

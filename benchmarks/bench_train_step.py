@@ -70,6 +70,11 @@ def bench_method(method: str, family: str, scene_dir: str, steps: int = 20,
 
 
 def main():
+    import jax
+    if os.environ.get("JAX_PLATFORMS") == "cpu":
+        # sitecustomize pins the axon TPU plugin over the env var; honor
+        # an explicit CPU request (virtual-mesh validation runs)
+        jax.config.update("jax_platforms", "cpu")
     import tempfile
     from synthetic import write_synthetic_colmap_scene
 
