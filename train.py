@@ -6,9 +6,17 @@ Parity: /root/reference/train.py. Usage:
 """
 from __future__ import annotations
 
+import os
 import random
 
 import numpy as np
+
+if os.environ.get("JAX_PLATFORMS") == "cpu":
+    # the machine's sitecustomize can register-and-pin a TPU plugin at
+    # interpreter startup, silently overriding this env var — honor an
+    # explicit CPU request (CI / smoke runs on the virtual mesh)
+    import jax
+    jax.config.update("jax_platforms", "cpu")
 
 from gssr_tpu.configs.base import Config
 from gssr_tpu.configs.cli import parse_config
