@@ -547,10 +547,21 @@ def gather_rows_auto(per_gauss, binning: Binning, n_used):
     reduction ~ 1.45ns x (n_used + 1 sort operands) x instance capacity.
     Both cross over around N ~ I x C / 124; below it (vanilla's compact
     gaussian table) the scatter wins, above it (scaffold/octree decode
-    tables) the sort does."""
+    tables) the sort would.
+
+    ROUND-4 SAFETY DEFAULT: the segred path is OPT-IN (GSSR_SEGRED=1).
+    TPU-vs-interpret train-step gradient parity showed garbage anchor
+    gradients (components 1e3x too large) for the scaffold/octree decode
+    composition on compiled TPU while every isolated piece — the blend
+    kernels, segment_reduce_sorted on synthetic bounds, scatter-add, row
+    gathers, the decode itself — verified exact; the segred path's
+    binning-derived (gid_reduce, seg_bounds) contract is the remaining
+    unexonerated link. The scatter path is verified exact on TPU at every
+    scale tested and is default until this is root-caused."""
     n = per_gauss.shape[0]
     i_cap = binning.gauss_id.shape[0]
-    if (binning.gid_reduce is not None
+    if (os.environ.get("GSSR_SEGRED", "0") == "1"
+            and binning.gid_reduce is not None
             and n * 180.0 > i_cap * (n_used + 1) * 1.45):
         return gather_rows_segred(per_gauss, binning.gauss_id,
                                   binning.gid_reduce, binning.seg_bounds,
