@@ -7,6 +7,14 @@ Parity: /root/reference/extract_mesh.py. Usage:
 """
 from __future__ import annotations
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS") == "cpu":
+    # sitecustomize can pin a TPU plugin over the env var — honor an
+    # explicit CPU request (smoke/CI runs on the virtual mesh)
+    import jax as _jax
+    _jax.config.update("jax_platforms", "cpu")
+
 import argparse
 import os
 from pathlib import Path
