@@ -549,18 +549,15 @@ def gather_rows_auto(per_gauss, binning: Binning, n_used):
     gaussian table) the scatter wins, above it (scaffold/octree decode
     tables) the sort would.
 
-    ROUND-4 SAFETY DEFAULT: the segred path is OPT-IN (GSSR_SEGRED=1).
-    TPU-vs-interpret train-step gradient parity showed garbage anchor
-    gradients (components 1e3x too large) for the scaffold/octree decode
-    composition on compiled TPU while every isolated piece — the blend
-    kernels, segment_reduce_sorted on synthetic bounds, scatter-add, row
-    gathers, the decode itself — verified exact; the segred path's
-    binning-derived (gid_reduce, seg_bounds) contract is the remaining
-    unexonerated link. The scatter path is verified exact on TPU at every
-    scale tested and is default until this is root-caused."""
+    GSSR_SEGRED=0 opts out (forces the scatter path). During the round-4
+    compiled-gradient investigation (docs/known-issues.md) segred was
+    temporarily suspected, but forcing the scatter path did NOT change the
+    faulty composed gradients, and segment_reduce_sorted verifies exact on
+    TPU in isolation (1.4e-5 rel at 1.57M slots) — so the cost-model
+    default stands."""
     n = per_gauss.shape[0]
     i_cap = binning.gauss_id.shape[0]
-    if (os.environ.get("GSSR_SEGRED", "0") == "1"
+    if (os.environ.get("GSSR_SEGRED", "1") != "0"
             and binning.gid_reduce is not None
             and n * 180.0 > i_cap * (n_used + 1) * 1.45):
         return gather_rows_segred(per_gauss, binning.gauss_id,

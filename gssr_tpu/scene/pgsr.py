@@ -363,7 +363,7 @@ class PGSRScene(VanillaScene):
             near_gray = jnp.stack(near_grays)
         else:
             cam_arrays = camera.arrays()
-            gt = jnp.asarray(camera.image, jnp.float32)
+            gt = self.gt_device(camera)
             near_arr = near_cams[0].arrays()
             near_gray = near_grays[0]
         state, self.extra_stats, metrics = fn(

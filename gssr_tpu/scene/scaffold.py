@@ -210,7 +210,7 @@ class ScaffoldScene(VanillaScene):
             uid = jnp.asarray([c.uid for c in camera])
         else:
             cam_arrays = camera.arrays()
-            gt = jnp.asarray(camera.image, jnp.float32)
+            gt = self.gt_device(camera)
             uid = jnp.asarray(camera.uid)
         return fn(state, cam_arrays, uid, gt, bg,
                   jnp.asarray(step, jnp.float32))

@@ -221,7 +221,7 @@ class ScaffoldPGSRScene(ScaffoldScene):
             near_uid = jnp.asarray([c.uid for c in near_cams])
         else:
             cam_arrays = camera.arrays()
-            gt = jnp.asarray(camera.image, jnp.float32)
+            gt = self.gt_device(camera)
             near_arr = near_cams[0].arrays()
             near_gray = near_grays[0]
             uid = jnp.asarray(camera.uid)
