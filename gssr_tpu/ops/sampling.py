@@ -23,24 +23,15 @@ def quad_table(img):
     return q.reshape(H * W, -1)
 
 
-def bilinear_sample(img, xy, align_corners: bool = True):
-    """Sample img [H,W] (or [H,W,C]) at pixel coords xy [...,2] with border
-    clamp — matches F.grid_sample(align_corners=True, padding='border')
-    after the reference's [-1,1] normalization round trip.
-
-    TPU gather cost is ~10 ns per START INDEX almost regardless of row
-    width (<=16 f32 cols), so the four corner taps ride ONE row gather
-    from a quad table of the 2x2 footprints instead of four scalar
-    gathers — measured v5e on the 5M-tap NCC patch workload: 235 ms
-    (4 scalar 2-D gathers) -> 24.6 ms fwd+coord-grad. (Non-degenerate
-    slice gathers, slice_sizes=(2,), are ~10x WORSE than scalar — don't.)
-
-    Corners anchor at (clip(floor), <= size-2) so the footprint is always
-    in bounds; at the right/bottom border the weight saturates to 1 on the
-    edge texel — identical values to the clamped-corner formulation."""
+def bilinear_sample_xy(img, x, y):
+    """Component-coordinate variant of bilinear_sample: x and y are
+    separate [...] arrays. Avoids materializing a stacked [..., 2]
+    coordinate array — on TPU a trailing dim of 2 pads to 128 lanes, so a
+    400^3 voxel grid's uv stack would allocate 64x its logical size
+    (32 GB; the tsdf.integrate OOM found in round 4)."""
     H, W = img.shape[:2]
-    x = jnp.clip(xy[..., 0], 0.0, W - 1.0)
-    y = jnp.clip(xy[..., 1], 0.0, H - 1.0)
+    x = jnp.clip(x, 0.0, W - 1.0)
+    y = jnp.clip(y, 0.0, H - 1.0)
     x0 = jnp.clip(jnp.floor(x), 0.0, W - 2.0)
     y0 = jnp.clip(jnp.floor(y), 0.0, H - 2.0)
     wx = x - x0
@@ -62,6 +53,24 @@ def bilinear_sample(img, xy, align_corners: bool = True):
     out = ((1 - wy) * ((1 - wx) * v00 + wx * v01)
            + wy * ((1 - wx) * v10 + wx * v11))
     return out.reshape(out_shape)
+
+
+def bilinear_sample(img, xy, align_corners: bool = True):
+    """Sample img [H,W] (or [H,W,C]) at pixel coords xy [...,2] with border
+    clamp — matches F.grid_sample(align_corners=True, padding='border')
+    after the reference's [-1,1] normalization round trip.
+
+    TPU gather cost is ~10 ns per START INDEX almost regardless of row
+    width (<=16 f32 cols), so the four corner taps ride ONE row gather
+    from a quad table of the 2x2 footprints instead of four scalar
+    gathers — measured v5e on the 5M-tap NCC patch workload: 235 ms
+    (4 scalar 2-D gathers) -> 24.6 ms fwd+coord-grad. (Non-degenerate
+    slice gathers, slice_sizes=(2,), are ~10x WORSE than scalar — don't.)
+
+    Corners anchor at (clip(floor), <= size-2) so the footprint is always
+    in bounds; at the right/bottom border the weight saturates to 1 on the
+    edge texel — identical values to the clamped-corner formulation."""
+    return bilinear_sample_xy(img, xy[..., 0], xy[..., 1])
 
 
 def patch_offsets(half: int):

@@ -18,7 +18,10 @@ import numpy as np
 class TSDFVolume(NamedTuple):
     tsdf: jnp.ndarray       # [X,Y,Z]
     weight: jnp.ndarray     # [X,Y,Z]
-    color: jnp.ndarray      # [X,Y,Z,3]
+    color: jnp.ndarray      # [3,X,Y,Z] — CHANNEL-MAJOR: a [X,Y,Z,3]
+    # layout pads the minor dim to 128 lanes on TPU (a 400^3 grid would
+    # allocate 32 GB for its 0.77 GB of color; the round-4 extract_mesh
+    # HBM OOM); leading-channel keeps Z on the lane axis.
     origin: jnp.ndarray     # [3]
     voxel_size: float
     sdf_trunc: float
@@ -29,19 +32,24 @@ def make_volume(origin, dims, voxel_size: float, sdf_trunc: float):
     return TSDFVolume(
         tsdf=jnp.ones((X, Y, Z), jnp.float32),
         weight=jnp.zeros((X, Y, Z), jnp.float32),
-        color=jnp.zeros((X, Y, Z, 3), jnp.float32),
+        color=jnp.zeros((3, X, Y, Z), jnp.float32),
         origin=jnp.asarray(origin, jnp.float32),
         voxel_size=float(voxel_size), sdf_trunc=float(sdf_trunc))
 
 
 def _voxel_world_coords(vol: TSDFVolume):
+    """World coordinates as SEPARATE [X,Y,Z] component arrays — stacking
+    them to [X,Y,Z,3] would pad the minor dim 3 -> 128 on TPU (see the
+    TSDFVolume.color note)."""
     X, Y, Z = vol.tsdf.shape
     xs = jnp.arange(X, dtype=jnp.float32)
     ys = jnp.arange(Y, dtype=jnp.float32)
     zs = jnp.arange(Z, dtype=jnp.float32)
     gx, gy, gz = jnp.meshgrid(xs, ys, zs, indexing="ij")
-    pts = jnp.stack([gx, gy, gz], axis=-1) * vol.voxel_size + vol.origin
-    return pts                                   # [X,Y,Z,3]
+    wx = gx * vol.voxel_size + vol.origin[0]
+    wy = gy * vol.voxel_size + vol.origin[1]
+    wz = gz * vol.voxel_size + vol.origin[2]
+    return wx, wy, wz
 
 
 def integrate(vol: TSDFVolume, depth, rgb, w2c, fx, fy, cx, cy,
@@ -50,21 +58,23 @@ def integrate(vol: TSDFVolume, depth, rgb, w2c, fx, fy, cx, cy,
     """Integrate one view. depth [H,W], rgb [H,W,3], w2c [4,4]. Depth, rgb
     and alpha are sampled bilinearly (the reference grid_samples depth and
     rgb, mesh_utils.py:203-204)."""
-    from gssr_tpu.ops.sampling import bilinear_sample
+    from gssr_tpu.ops.sampling import bilinear_sample_xy
 
     H, W = depth.shape
-    pts = _voxel_world_coords(vol)
-    cam = pts @ w2c[:3, :3].T + w2c[:3, 3]
-    z = cam[..., 2]
-    u = cam[..., 0] * fx / jnp.where(z != 0, z, 1.0) + cx
-    v = cam[..., 1] * fy / jnp.where(z != 0, z, 1.0) + cy
-    uv = jnp.stack([u, v], axis=-1)
+    wxv, wyv, wzv = _voxel_world_coords(vol)
+    R, t = w2c[:3, :3], w2c[:3, 3]
+    cx_ = wxv * R[0, 0] + wyv * R[0, 1] + wzv * R[0, 2] + t[0]
+    cy_ = wxv * R[1, 0] + wyv * R[1, 1] + wzv * R[1, 2] + t[1]
+    z = wxv * R[2, 0] + wyv * R[2, 1] + wzv * R[2, 2] + t[2]
+    zs = jnp.where(z != 0, z, 1.0)
+    u = cx_ * fx / zs + cx
+    v = cy_ * fy / zs + cy
     in_img = (u >= 0) & (u <= W - 1) & (v >= 0) & (v <= H - 1) & (z > 0)
-    d = bilinear_sample(depth, uv)
-    c = bilinear_sample(rgb, uv)
+    d = bilinear_sample_xy(depth, u, v)
+    c = [bilinear_sample_xy(rgb[..., ch], u, v) for ch in range(3)]
     valid_d = (d > 0) & (d < depth_trunc)
     if alpha is not None:
-        valid_d = valid_d & (bilinear_sample(alpha, uv) > alpha_thres)
+        valid_d = valid_d & (bilinear_sample_xy(alpha, u, v) > alpha_thres)
     sdf = (d - z) / vol.sdf_trunc
     upd = in_img & valid_d & (sdf > -1.0)
     sdf = jnp.clip(sdf, -1.0, 1.0)
@@ -72,9 +82,9 @@ def integrate(vol: TSDFVolume, depth, rgb, w2c, fx, fy, cx, cy,
     wsum = vol.weight + w_new
     wsafe = jnp.maximum(wsum, 1e-8)
     tsdf = jnp.where(upd, (vol.tsdf * vol.weight + sdf) / wsafe, vol.tsdf)
-    color = jnp.where(upd[..., None],
-                      (vol.color * vol.weight[..., None] + c)
-                      / wsafe[..., None], vol.color)
+    color = jnp.stack(
+        [jnp.where(upd, (vol.color[ch] * vol.weight + c[ch]) / wsafe,
+                   vol.color[ch]) for ch in range(3)], axis=0)
     return vol._replace(tsdf=tsdf, weight=wsum, color=color)
 
 
@@ -106,7 +116,7 @@ def sample_volume_colors(vol: TSDFVolume, verts: np.ndarray) -> np.ndarray:
     """Trilinear sample of vol.color at world-space vertices."""
     if len(verts) == 0:
         return np.zeros((0, 3), np.float32)
-    col = np.asarray(vol.color)
+    col = np.moveaxis(np.asarray(vol.color), 0, -1)   # [X,Y,Z,3]
     g = (np.asarray(verts) - np.asarray(vol.origin)) / vol.voxel_size
     dims = np.asarray(col.shape[:3])
     g = np.clip(g, 0.0, dims - 1.000001)
