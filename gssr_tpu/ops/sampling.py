@@ -37,6 +37,21 @@ def bilinear_sample_xy(img, x, y):
     wx = x - x0
     wy = y - y0
     base = (y0.astype(jnp.int32) * W + x0.astype(jnp.int32)).reshape(-1)
+    if img.ndim == 2 and base.size > (1 << 23):
+        # The quad-table row gather materializes a [M, 4] intermediate,
+        # whose minor dim pads to 128 lanes on TPU (32x memory) — at TSDF
+        # scale (64M voxels) that is a 32 GB allocation. Four 1-D corner
+        # gathers cost more index time (~10 ns/idx vs 2.4) but produce
+        # unpadded [M] outputs; fine for the offline fusion path.
+        f = img.reshape(-1)
+        v00, v01 = f[base], f[base + 1]
+        v10, v11 = f[base + W], f[base + W + 1]
+        shape = x.shape
+        wx = wx.reshape(-1)
+        wy = wy.reshape(-1)
+        out = ((1 - wy) * ((1 - wx) * v00 + wx * v01)
+               + wy * ((1 - wx) * v10 + wx * v11))
+        return out.reshape(shape)
     q = quad_table(img)[base]                        # [M, 4(*C)]
     shape = x.shape
     if img.ndim == 3:
