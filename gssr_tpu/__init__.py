@@ -24,3 +24,21 @@ import os as _os
 _os.environ.setdefault("JAX_COMPILATION_CACHE_DIR",
                        _os.path.expanduser("~/.cache/gssr_tpu_xla"))
 _os.environ.setdefault("JAX_PERSISTENT_CACHE_MIN_COMPILE_TIME_SECS", "2")
+
+# f32 matmuls everywhere by default. TPU's DEFAULT matmul precision is bf16;
+# the splatting pipeline's XLA-level matmuls are GEOMETRY (camera projection,
+# the 2DGS splat->pixel T matrix, MLP-decoded offsets/covariances), and bf16
+# there was the root cause of the round-4 composed-backward corruption: every
+# Pallas kernel pins Precision.HIGHEST, so isolated kernel A/B passed, but
+# the composed compiled graph fed the kernels bf16-rounded projections.
+# Pixel-scale rounding flips the blend's hard gates (alpha cut, rect
+# coverage), decorrelating gradients catastrophically with scene size —
+# octree-2dgs at 400x304 collapsed (PSNR 6.4) while CPU (always-f32) trained
+# to 28+. With "highest", TPU gradients match CPU to cos >= 0.999998 on
+# every leaf (benchmarks/fd_probe.py). Override via GSSR_MATMUL_PRECISION
+# for experiments; the measured step cost is small (the rasterizer kernels
+# dominate and were already f32).
+from jax import config as _jax_config
+
+_jax_config.update("jax_default_matmul_precision",
+                   _os.environ.get("GSSR_MATMUL_PRECISION", "highest"))
