@@ -33,6 +33,8 @@ from gssr_tpu.ops.voxel import (
 )
 from gssr_tpu.utils.general import expon_lr, inverse_sigmoid
 
+_WARNED_NO_TORCH = False
+
 
 @dataclasses.dataclass(frozen=True)
 class ScaffoldGaussianConfig:
@@ -620,7 +622,11 @@ class ScaffoldGaussians:
                 os.path.dirname(os.path.abspath(path)), state.mlp,
                 use_feat_bank=self.config.use_feat_bank)
         except ImportError:
-            pass
+            global _WARNED_NO_TORCH
+            if not _WARNED_NO_TORCH:
+                _WARNED_NO_TORCH = True
+                print("[scaffold] torch unavailable: skipping the GS-SR "
+                      "interop checkpoints.pth export (npz was written)")
 
     def load_mlp_checkpoints(self, state: ScaffoldState, path: str):
         data = np.load(path)

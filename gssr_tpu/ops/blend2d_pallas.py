@@ -295,6 +295,7 @@ def _bwd2_kernel(tiles_x, cmap_ref, nlive_ref, ranges_ref, attrs_ref,
             dN = cot_ref[0, :, O_NRM:O_NRM + 3]
             ddist = cot_ref[0, :, O_DIST:O_DIST + 1]
             dmed = cot_ref[0, :, O_MED:O_MED + 1]
+            dmednrm = cot_ref[0, :, O_MEDNRM:O_MEDNRM + 3]   # (PIX, 3)
             final_T = fwd_ref[0, :, O_T:O_T + 1]
             sel_pos = fwd_ref[0, :, O_SELPOS:O_SELPOS + 1]
 
@@ -386,7 +387,12 @@ def _bwd2_kernel(tiles_x, cmap_ref, nlive_ref, ranges_ref, attrs_ref,
                     + [sm(extras[j]) for j in range(3)]
                     + [sm(da_eff * aux["g_exp"])]
                     + [sm(w * dC[:, ci:ci + 1]) for ci in range(3)]
-                    + [sm(w * dN[:, ci:ci + 1]) for ci in range(3)])
+                    # median_normal is a SELECTION output (like median
+                    # depth): its cotangent routes to the selected
+                    # instance's normal row through the median onehot
+                    + [sm(w * dN[:, ci:ci + 1]
+                          + jnp.where(onehot, dmednrm[:, ci:ci + 1], 0.0))
+                       for ci in range(3)])
             dattr_ref[:, :] = jnp.concatenate(
                 rows + [jnp.zeros((NUM_ATTRS2 - 21, CHUNK), jnp.float32)],
                 axis=0)
@@ -480,10 +486,10 @@ def _blend2_core_fwd(attrs, ranges, cmap, nlive, tiles_x, tiles_y):
 
 def _blend2_core_bwd(tiles_x, tiles_y, res, g_rows):
     attrs, ranges, cmap, nlive, fwd_out = res
-    # zero out cotangents of non-differentiable rows (sel_pos, median normal)
+    # zero out cotangents of non-differentiable rows (sel_pos only: the
+    # median-normal cotangent IS routed, via the median onehot)
     mask = np.ones((OUT2_ROWS,), np.float32)
     mask[O_SELPOS] = 0.0
-    mask[O_MEDNRM:O_MEDNRM + 3] = 0.0
     # S1/S2 are backward-plumbing outputs; their effect on the distortion
     # loss is already in the analytic dL/ddist chain
     mask[O_S1] = 0.0

@@ -115,11 +115,14 @@ def rasterize(means3d, scales, rotations, opacity, camera,
         per-gaussian screen attributes (~16 floats vs the 60+ of raw
         state) are all_gather'd into the replicated binning/blend path
         (SURVEY §2.3(b) gaussian sharding — per-chip HBM then holds 1/D of
-        params + Adam moments). The all_gather's VJP is a psum_scatter, so
-        each shard receives exactly its own gaussians' gradients — no
-        pmean needed. Returned radii/mean2d stay SHARD-LOCAL so
-        densification statistics update locally. Mutually exclusive with
-        band_axis.
+        params + Adam moments). CONTRACT: the loss downstream of this
+        render must be computed identically on every device of the shard
+        axis (a full-frame, replicated loss) — gather_shards' slice VJP
+        assumes a replicated cotangent and silently over/under-counts for
+        per-device losses; tests/test_parallel.py::test_gshard_grads_exact
+        is the gate for any new gshard consumer. Returned radii/mean2d
+        stay SHARD-LOCAL so densification statistics update locally.
+        Mutually exclusive with band_axis.
     """
     pw, ph = pad_to_tiles(width, height)
     proj = preprocess(means3d, scales, rotations, camera, pw, ph,

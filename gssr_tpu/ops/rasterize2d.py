@@ -50,7 +50,8 @@ def rasterize_2d(means3d, scales2, rotations, opacity, camera,
                  instance_cap: int = 1 << 18, backend: str = "pallas",
                  depth_ratio: float = 0.0,
                  mean2d_offset=None,
-                 band_axis=None, band_count: int = 1) -> Render2DOutput:
+                 band_axis=None, band_count: int = 1,
+                 gauss_shard_axis=None) -> Render2DOutput:
     pw, ph = pad_to_tiles(width, height)
     proj = preprocess_2d(means3d, scales2, rotations, camera, pw, ph,
                          scaling_modifier=scaling_modifier,
@@ -63,6 +64,26 @@ def rasterize_2d(means3d, scales2, rotations, opacity, camera,
         color = colors_precomp
     else:
         color = sh_ops.sh_to_color(sh_degree, sh_coeffs, means3d, camera.campos)
+
+    opacity = opacity.reshape(-1)
+    radii_local, mean2d_local = proj.radius, proj.mean2d
+    if gauss_shard_axis is not None:
+        # gaussian/anchor sharding (see ops/rasterize.py gauss_shard_axis
+        # for the contract): the [N_local]-sized preprocess above ran on
+        # this device's shard; gather only the compact per-splat screen
+        # attributes into the replicated binning/blend. The downstream
+        # loss must be replicated across the axis (gather_shards' slice
+        # VJP); returned radii/mean2d stay SHARD-LOCAL for densify stats.
+        from gssr_tpu.ops.rasterize import gather_shards
+        assert band_axis is None, \
+            "gaussian sharding and band sharding are mutually exclusive"
+        ag = lambda x: gather_shards(x, gauss_shard_axis)
+        proj = proj._replace(
+            mean2d=ag(proj.mean2d), Tmat=ag(proj.Tmat),
+            normal=ag(proj.normal), depth=ag(proj.depth),
+            rect=ag(proj.rect), tiles_touched=ag(proj.tiles_touched))
+        color = ag(color)
+        opacity = ag(opacity)
 
     if band_axis is None:
         tiles_yb, render_h = ph // TILE, ph
@@ -92,7 +113,6 @@ def rasterize_2d(means3d, scales2, rotations, opacity, camera,
         jax.lax.stop_gradient(tiles),
         pw // TILE, tiles_yb, instance_cap, chunk=chunk)
 
-    opacity = opacity.reshape(-1)
     if backend == "pallas":
         from gssr_tpu.ops.blend2d_pallas import blend2d_pallas
         maps = blend2d_pallas(mean2d_b, Tmat_b, proj.normal, color,
@@ -135,5 +155,5 @@ def rasterize_2d(means3d, scales2, rotations, opacity, camera,
         surf_depth=surf_depth, dist=crop(maps.dist),
         median_normal=crop(maps.median_normal),
         median_contrib=crop(maps.median_contrib),
-        radii=proj.radius, mean2d=proj.mean2d,
+        radii=radii_local, mean2d=mean2d_local,
         num_rendered=num_rendered, overflow=overflow)

@@ -22,7 +22,8 @@ class Octree2DGSSceneConfig(OctreeSceneConfig):
 class Octree2DGSScene(OctreeScene):
     config: Octree2DGSSceneConfig
 
-    def _rasterize_neural(self, ng, camera, bg, mean2d_offset, band=False):
+    def _rasterize_neural(self, ng, camera, bg, mean2d_offset, band=False,
+                          gshard=False):
         return rasterize_2d(
             ng.xyz, ng.scaling[:, :2], ng.rotation, ng.opacity, camera,
             self.width, self.height, bg,
@@ -33,7 +34,8 @@ class Octree2DGSScene(OctreeScene):
             depth_ratio=self.config.depth_ratio,
             mean2d_offset=mean2d_offset,
             band_axis=self._axis if band else None,
-            band_count=self._n_dev if band else 1)
+            band_count=self._n_dev if band else 1,
+            gauss_shard_axis=self._axis if gshard else None)
 
     def extra_losses(self, ng, out, step, camera):
         terms = surfel_reg_losses(out, camera, step,

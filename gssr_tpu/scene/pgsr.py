@@ -52,6 +52,11 @@ class PGSRSceneConfig(VanillaSceneConfig):
 class PGSRScene(VanillaScene):
     config: PGSRSceneConfig
 
+    def _gshard_capacity(self) -> int:
+        raise NotImplementedError(
+            "gshard is not wired through the PGSR multi-view step yet; "
+            "use dp or band for the pgsr family")
+
     def __init__(self, config, source_dir, eval=False, seed=0,
                  dataloader=None):
         super().__init__(config, source_dir, eval, seed, dataloader)

@@ -61,17 +61,23 @@ class ScaffoldScene(VanillaScene):
                           active_mask=active)
         return proj.radius > 0
 
+    def _gshard_capacity(self) -> int:
+        # anchors + feat + offsets + Adam moments + stats are the HBM
+        # consumer (reference scaffold_gaussian.py:96-160); they shard 1/D
+        return self.state.anchors.anchor.shape[0]
+
     def decode_and_render(self, anchors, mlp, camera, cam_uid, visible,
                           active, bg, mean2d_offset=None,
-                          level_scale_gate=None, band=False):
+                          level_scale_gate=None, band=False, gshard=False):
         g = self.gaussians
         ng = g.decode(anchors, mlp, camera.campos, cam_uid, visible, active,
                       level_scale_gate=level_scale_gate)
         out = self._rasterize_neural(ng, camera, bg, mean2d_offset,
-                                     band=band)
+                                     band=band, gshard=gshard)
         return ng, out
 
-    def _rasterize_neural(self, ng, camera, bg, mean2d_offset, band=False):
+    def _rasterize_neural(self, ng, camera, bg, mean2d_offset, band=False,
+                          gshard=False):
         return rasterize(
             ng.xyz, ng.scaling, ng.rotation, ng.opacity, camera,
             self.width, self.height, bg,
@@ -81,18 +87,31 @@ class ScaffoldScene(VanillaScene):
             backend=self.config.backend,
             mean2d_offset=mean2d_offset,
             band_axis=self._axis if band else None,
-            band_count=self._n_dev if band else 1)
+            band_count=self._n_dev if band else 1,
+            gauss_shard_axis=self._axis if gshard else None)
 
     def extra_losses(self, ng, out, step, camera) -> Dict[str, jnp.ndarray]:
         return {"scaling_loss": self.scaling_loss(ng)}
 
     def scaling_loss(self, ng, dims: int = 3):
         """lambda_scaling * mean over selected gaussians of prod(scaling)
-        (scaffold_scene.py:182-185); masked mean replaces compaction."""
-        prod = jnp.prod(ng.scaling[:, :dims], axis=-1)
-        cnt = jnp.maximum(jnp.sum(ng.mask.astype(jnp.float32)), 1.0)
-        return (self.config.lambda_scaling
-                * jnp.sum(jnp.where(ng.mask, prod, 0.0)) / cnt)
+        (scaffold_scene.py:182-185); masked mean replaces compaction.
+
+        In gshard mode `ng` is this device's anchor shard, so the global
+        masked mean psums the sum and the count over the shard axis —
+        which also keeps the total loss replicated, as the rasterizer's
+        gather_shards VJP contract requires. The psum rides under
+        stop_gradient with the local summand re-added: psum's transpose is
+        itself a psum, which would multiply the (replicated) cotangent by
+        D; each device must receive exactly its own shard's gradient."""
+        s = jnp.sum(jnp.where(ng.mask,
+                              jnp.prod(ng.scaling[:, :dims], axis=-1), 0.0))
+        cnt = jnp.sum(ng.mask.astype(jnp.float32))
+        if self._pmode == "gshard":
+            s = s + jax.lax.stop_gradient(
+                jax.lax.psum(s, self._axis) - s)
+            cnt = jax.lax.stop_gradient(jax.lax.psum(cnt, self._axis))
+        return self.config.lambda_scaling * s / jnp.maximum(cnt, 1.0)
 
     def anchor_level_gate(self, state, camera, step, is_training=True):
         """Octree hook: per-anchor (visibility extra-mask, opacity gate)."""
@@ -115,6 +134,7 @@ class ScaffoldScene(VanillaScene):
         g = self.gaussians
         cfg = self.config.gaussians
         band = par == "band"
+        gshard = par == "gshard"
         extra_mask, gate = self.anchor_level_gate(state, camera, step)
         visible = self.prefilter_anchors(state.anchors, state.active, camera)
         if extra_mask is not None:
@@ -122,13 +142,16 @@ class ScaffoldScene(VanillaScene):
         visible = jax.lax.stop_gradient(visible)
 
         K = cfg.n_offsets
+        # inside the gshard shard_map body this is the LOCAL anchor shard,
+        # so the decode budget, m2d hook and stats all stay shard-local
         CA = state.anchors.offset.shape[0]
         VBK = (g.visible_budget(CA) or CA) * K
 
         def loss_fn(anchors, mlp, m2d_offset):
             ng, out = self.decode_and_render(
                 anchors, mlp, camera, cam_uid, visible, state.active, bg,
-                mean2d_offset=m2d_offset, level_scale_gate=gate, band=band)
+                mean2d_offset=m2d_offset, level_scale_gate=gate, band=band,
+                gshard=gshard)
             lam = self.config.lambda_dssim
             terms = {
                 "L1_loss": (1.0 - lam) * l1_loss(out.image, gt),
@@ -142,8 +165,14 @@ class ScaffoldScene(VanillaScene):
             loss_fn, argnums=(0, 1, 2), has_aux=True)(
                 state.anchors, state.mlp, zeros2d)
 
-        ga = self._pmerge_grads(ga)
-        gm = self._pmerge_grads(gm)
+        if gshard:
+            # anchor grads are exact per shard (gather_shards slice VJP);
+            # the replicated MLP saw only this shard's anchors, so its
+            # total gradient is the SUM over shards
+            gm = jax.tree.map(lambda x: jax.lax.psum(x, self._axis), gm)
+        else:
+            ga = self._pmerge_grads(ga)
+            gm = self._pmerge_grads(gm)
         if band:
             m2d_grad = jax.lax.pmean(m2d_grad, self._axis)
 
@@ -191,12 +220,13 @@ class ScaffoldScene(VanillaScene):
         else:
             def body(state, cam, uid, gt, bg, step):
                 return self._train_step(sh_degree, state, cam, uid,
-                                        gt, bg, step, par="band")
+                                        gt, bg, step, par=par)
 
+        state_spec = P() if par != "gshard" else self._state_specs()
         fn = jax.shard_map(
             body, mesh=self._mesh,
-            in_specs=(P(), cam_spec, cam_spec, gt_spec, P(), P()),
-            out_specs=(P(), P()), check_vma=False)
+            in_specs=(state_spec, cam_spec, cam_spec, gt_spec, P(), P()),
+            out_specs=(state_spec, P()), check_vma=False)
         return jax.jit(fn, donate_argnums=(0,))
 
     def train_step(self, state, camera, step: int):

@@ -23,7 +23,8 @@ class Scaffold2DGSSceneConfig(ScaffoldSceneConfig):
 class Scaffold2DGSScene(ScaffoldScene):
     config: Scaffold2DGSSceneConfig
 
-    def _rasterize_neural(self, ng, camera, bg, mean2d_offset, band=False):
+    def _rasterize_neural(self, ng, camera, bg, mean2d_offset, band=False,
+                          gshard=False):
         return rasterize_2d(
             ng.xyz, ng.scaling[:, :2], ng.rotation, ng.opacity, camera,
             self.width, self.height, bg,
@@ -34,7 +35,8 @@ class Scaffold2DGSScene(ScaffoldScene):
             depth_ratio=self.config.depth_ratio,
             mean2d_offset=mean2d_offset,
             band_axis=self._axis if band else None,
-            band_count=self._n_dev if band else 1)
+            band_count=self._n_dev if band else 1,
+            gauss_shard_axis=self._axis if gshard else None)
 
     def extra_losses(self, ng, out, step, camera):
         terms = surfel_reg_losses(out, camera, step,

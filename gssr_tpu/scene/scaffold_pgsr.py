@@ -37,6 +37,11 @@ class ScaffoldPGSRSceneConfig(ScaffoldSceneConfig):
 class ScaffoldPGSRScene(ScaffoldScene):
     config: ScaffoldPGSRSceneConfig
 
+    def _gshard_capacity(self) -> int:
+        raise NotImplementedError(
+            "gshard is not wired through the PGSR multi-view step yet; "
+            "use dp or band for the pgsr family")
+
     def __init__(self, config, source_dir, eval=False, seed=0,
                  dataloader=None):
         super().__init__(config, source_dir, eval, seed, dataloader)
@@ -64,7 +69,9 @@ class ScaffoldPGSRScene(ScaffoldScene):
         if "near_draws" in aux:
             self._near_draws = int(aux["near_draws"])
 
-    def _rasterize_neural(self, ng, camera, bg, mean2d_offset, band=False):
+    def _rasterize_neural(self, ng, camera, bg, mean2d_offset, band=False,
+                          gshard=False):
+        assert not gshard, "gshard is not wired through the PGSR payload"
         return rasterize_pgsr(
             ng.xyz, ng.scaling, ng.rotation, ng.opacity, camera,
             self.width, self.height, bg,

@@ -71,8 +71,6 @@ class TwoDGSScene(VanillaScene):
     def render_params(self, params, camera, sh_degree: int, active, bg,
                       mean2d_offset=None, band_axis=None,
                       band_count: int = 1, gauss_shard_axis=None):
-        assert gauss_shard_axis is None, \
-            "gshard is prototyped on the vanilla payload only"
         g = self.gaussians
         out = rasterize_2d(
             params.xyz, g.get_scaling(params), g.get_rotation(params),
@@ -85,7 +83,8 @@ class TwoDGSScene(VanillaScene):
             backend=self.config.backend,
             depth_ratio=self.config.depth_ratio,
             mean2d_offset=mean2d_offset,
-            band_axis=band_axis, band_count=band_count)
+            band_axis=band_axis, band_count=band_count,
+            gauss_shard_axis=gauss_shard_axis)
         return out
 
     def loss_terms(self, out, gt, camera_extra=None, step=None):

@@ -10,6 +10,7 @@ from __future__ import annotations
 
 import dataclasses
 import functools
+import os
 from dataclasses import field
 from typing import Dict, Optional
 
@@ -99,12 +100,7 @@ class VanillaScene:
                     f"band mode needs the {ph // TILE} tile rows to divide "
                     f"evenly over {len(devices)} devices")
         elif mode == "gshard":
-            if type(self).__name__ != "VanillaScene":
-                raise NotImplementedError(
-                    "gshard is prototyped on VanillaScene; anchor-sharded "
-                    "scaffold/octree decode follows the same pattern "
-                    "(docs/parallelism.md)")
-            cap = self.state.params.xyz.shape[0]
+            cap = self._gshard_capacity()   # raises where unsupported
             if cap % len(devices) != 0:
                 raise ValueError(
                     f"gshard needs capacity {cap} divisible by "
@@ -115,6 +111,11 @@ class VanillaScene:
         self._pmode = mode
         self._n_dev = len(devices)
         self._jit_cache.clear()
+
+    def _gshard_capacity(self) -> int:
+        """Capacity axis that gshard shards 1/D per chip; scenes that
+        cannot shard their model raise NotImplementedError here."""
+        return self.state.params.xyz.shape[0]
 
     def _pmerge_grads(self, grads):
         """Parameter-gradient all-reduce over the mesh (exact: see
@@ -265,7 +266,7 @@ class VanillaScene:
         """Per-leaf PartitionSpecs sharding every capacity-axis array of
         the state over the mesh (gshard mode); scalars stay replicated."""
         from jax.sharding import PartitionSpec as P
-        cap = self.state.params.xyz.shape[0]
+        cap = self._gshard_capacity()
 
         def spec(x):
             return (P(self._axis)
@@ -285,11 +286,15 @@ class VanillaScene:
         if not hasattr(self, "_gt_cache"):
             from collections import OrderedDict
             self._gt_cache = OrderedDict()
-            self._gt_cache_frames = 64
-        v = self._gt_cache.pop(camera.uid, None)
+            self._gt_cache_frames = int(os.environ.get(
+                "GSSR_GT_CACHE_FRAMES", "64"))
+        # key by (uid, shape): a uid re-served at a different resolution
+        # scale must not return the stale frame
+        key = (camera.uid, np.shape(camera.image))
+        v = self._gt_cache.pop(key, None)
         if v is None:
             v = jnp.asarray(camera.image, jnp.float32)
-        self._gt_cache[camera.uid] = v          # move-to-back LRU
+        self._gt_cache[key] = v                 # move-to-back LRU
         while len(self._gt_cache) > self._gt_cache_frames:
             self._gt_cache.popitem(last=False)
         return v

@@ -110,3 +110,34 @@ def test_gradients_match_reference(rng):
         scale = np.abs(a).max() + 1e-8
         np.testing.assert_allclose(b / scale, a / scale, atol=2e-3,
                                    err_msg=nm)
+
+
+def test_median_normal_gradients_match_reference(rng):
+    """The median_normal cotangent routes through the median onehot to the
+    selected instance's normal rows (same contract as median depth) —
+    nonzero and matching the jnp reference backend's autodiff."""
+    cam = make_camera(w=16, h=16)
+    scene = random_scene(rng, 12)
+    tgt = jnp.asarray(rng.normal(size=(16, 16, 3)), jnp.float32)
+
+    def loss(backend, *args):
+        out = _render_fn(backend, 16, 16, 0.0)(
+            *args, cam.arrays(), jnp.zeros(3, jnp.float32))
+        return (jnp.mean(out.median_normal * tgt)
+                + 0.05 * jnp.mean(out.median_depth))
+
+    g_ref = jax.jit(jax.grad(functools.partial(loss, "reference"),
+                             argnums=(0, 1, 2, 3)))(*scene)
+    g_pal = jax.jit(jax.grad(functools.partial(loss, "pallas"),
+                             argnums=(0, 1, 2, 3)))(*scene)
+    assert any(np.abs(np.asarray(g)).max() > 1e-4 for g in g_pal)
+    for nm, a, b in zip(["means", "scales", "rots", "opac"], g_ref, g_pal):
+        a, b = np.asarray(a), np.asarray(b)
+        assert np.isfinite(b).all(), nm
+        # this loss has ~zero true gradient on some leaves (e.g. scales:
+        # the median normal doesn't depend on them) — compare with an
+        # absolute floor so f32 noise doesn't get amplified by a tiny
+        # normalizer
+        scale = max(np.abs(a).max(), 1e-4)
+        np.testing.assert_allclose(b / scale, a / scale, atol=2e-3,
+                                   err_msg=nm)
