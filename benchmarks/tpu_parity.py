@@ -86,6 +86,7 @@ def make_loss(scene, cam_arrays, uid, gt, step):
         diff0 = (state.anchors, state.mlp)
     else:                                        # vanilla/2dgs/pgsr family
         sh_degree = scene.gaussians.active_sh_degree(step)
+        scene._current_camera = cam_arrays       # TwoDGSScene loss hook
 
         def loss(params):
             out = scene.render_params(params, cam_arrays, sh_degree,

@@ -262,3 +262,23 @@ def test_pgsr_oracle(rng, backend):
                                atol=3e-4, rtol=1e-3)
     np.testing.assert_allclose(np.asarray(out.distance), acc[..., 6],
                                atol=3e-4, rtol=1e-3)
+
+
+def test_ssim_custom_vjp_matches_fd(rng):
+    """The SSIM blur's self-adjoint custom VJP (and the fusion-barrier
+    formulation) must equal finite differences: the blur operator with a
+    symmetric kernel and SAME padding is its own transpose."""
+    import jax
+    import jax.numpy as jnp
+    from gssr_tpu.ops.ssim import ssim
+
+    a = jnp.asarray(rng.uniform(0.2, 0.8, (24, 28, 3)), jnp.float32)
+    b = jnp.asarray(rng.uniform(0.2, 0.8, (24, 28, 3)), jnp.float32)
+    g = jax.jit(jax.grad(lambda x: 1.0 - ssim(x, b)))(a)
+    v = rng.normal(size=a.shape).astype(np.float32)
+    v /= np.linalg.norm(v)
+    eps = 3e-3
+    f = jax.jit(lambda x: 1.0 - ssim(x, b))
+    fd = (float(f(a + eps * v)) - float(f(a - eps * v))) / (2 * eps)
+    dot = float(np.asarray(g).ravel() @ v.ravel())
+    assert abs(fd - dot) < 5e-4 * max(1.0, abs(fd)), (fd, dot)
