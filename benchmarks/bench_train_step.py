@@ -42,16 +42,34 @@ def bench_method(method: str, family: str, scene_dir: str, steps: int = 20,
 
     # warmup + compile at a step past any warmup-phase switches
     step0 = 8000
-    state, metrics = scene.train_step(state, scene.dataloader.train_cameras[0],
-                                      step0)
-    jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
     cams = scene.dataloader.train_cameras
-    t0 = time.perf_counter()
-    for i in range(steps):
-        state, metrics = scene.train_step(state, cams[i % len(cams)],
-                                          step0 + 1 + i)
-    jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
-    dt = (time.perf_counter() - t0) / steps
+    K = int(os.environ.get("GSSR_BENCH_SCAN", 16))
+    use_block = K > 1 and getattr(scene, "supports_train_block", False)
+    if use_block:
+        # the REAL trainer path (TrainerConfig.scan_block): K steps per
+        # dispatch via lax.scan over device-stacked camera/GT inputs —
+        # this is what amortizes the per-dispatch host round trip
+        blk = [cams[i % len(cams)] for i in range(K)]
+        state, ms = scene.train_block(state, blk, step0)
+        jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+        nblocks = max(1, steps // K)
+        t0 = time.perf_counter()
+        for b in range(nblocks):
+            state, ms = scene.train_block(state, blk,
+                                          step0 + K * (b + 1))
+        jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+        dt = (time.perf_counter() - t0) / (nblocks * K)
+        loss = float(ms["loss"][-1])
+    else:
+        state, metrics = scene.train_step(state, cams[0], step0)
+        jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+        t0 = time.perf_counter()
+        for i in range(steps):
+            state, metrics = scene.train_step(state, cams[i % len(cams)],
+                                              step0 + 1 + i)
+        jax.block_until_ready(jax.tree_util.tree_leaves(state)[0])
+        dt = (time.perf_counter() - t0) / steps
+        loss = float(metrics["loss"])
     renders = 2 if family.endswith("pgsr") else 1
     mpix = renders * (W * H / 1e6) / dt
     bar = FAMILY_BASELINE_MPIX_S[family]
@@ -62,9 +80,9 @@ def bench_method(method: str, family: str, scene_dir: str, steps: int = 20,
         "vs_baseline": round(mpix / bar, 3),
         "baseline_mpix_s": bar,
         "detail": {"W": W, "H": H, "step_ms": round(dt * 1e3, 2),
-                   "steps": steps,
+                   "steps": steps, "scan_block": K if use_block else 1,
                    "n_active": int(state.n_active),
-                   "loss": float(metrics["loss"])},
+                   "loss": loss},
     }), flush=True)
     return mpix
 

@@ -164,7 +164,7 @@ def main():
             print(f"    {k:32s} cos={cos:+.6f} "
                   f"|cpu|={na:.3e} |tpu|={nb:.3e}"
                   + ("" if good else "   <-- FAIL"))
-        results["methods"][method] = {"ok": ok, "L_cpu": L_cpu,
+        results["methods"][method] = {"ok": bool(ok), "L_cpu": L_cpu,
                                       "L_tpu": L_tpu, "leaves": rows}
         print(f"  {'PASS' if ok else 'FAIL'}")
         ok_all = ok_all and ok

@@ -54,6 +54,13 @@ class TrainerConfig:
     log_interval: int = 10
     profile_dir: Optional[str] = None
     profile_steps: List[int] = field(default_factory=lambda: [100, 110])
+    # K consecutive train steps per device dispatch (lax.scan over a
+    # prefetched camera/GT batch). Each dispatch through a remote/tunneled
+    # chip pays a host round trip for its fresh inputs; K steps per
+    # dispatch amortize it K-fold. Blocks auto-shrink to end exactly on
+    # densify/opacity-reset/SH-ramp/eval/save boundaries; 1 disables.
+    # Ignored in parallel modes and for the pgsr family (two-camera step).
+    scan_block: int = 16
 
 
 @dataclass

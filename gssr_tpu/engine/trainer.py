@@ -74,65 +74,104 @@ class Trainer:
         prev_overflow = None    # device flag from the previous step
         prev_vb_overflow = None
 
-        for step in range(self.start_step + 1, tcfg.iterations + 1):
-            if tcfg.profile_dir and tcfg.profile_steps \
-                    and step == tcfg.profile_steps[0]:
-                import jax.profiler
-                jax.profiler.start_trace(tcfg.profile_dir)
-            for cb in callbacks:
-                cb.run_callback_at_location(
-                    step, TrainingCallbackLocation.BEFORE_TRAIN_ITERATION)
-            if getattr(scene, "_pmode", None) == "dp":
-                # one camera per device; each step consumes n_dev cameras
-                camera = [scene.dataloader.next_train()
-                          for _ in range(scene._n_dev)]
-                mpix_acc += sum(c.width * c.height for c in camera) / 1e6
-            else:
-                camera = scene.dataloader.next_train()
-                mpix_acc += camera.width * camera.height / 1e6
-            state, metrics = scene.train_step(state, camera, step)
-            # Overflow is checked EVERY step, one step delayed: we sync on
-            # the previous step's flag while the current step is already
-            # enqueued, so the device queue never drains. (The reference
-            # resizes its binning buffers lazily inside the CUDA launch.)
-            if prev_overflow is not None and bool(prev_overflow):
-                new_cap = scene.bump_instance_cap()
-                print(f"[warn] instance buffer overflow at step {step - 1}; "
-                      f"auto-bumped instance_cap to {new_cap} "
-                      "(next step recompiles)")
-            prev_overflow = metrics.get("overflow")
-            if prev_vb_overflow is not None and bool(prev_vb_overflow):
-                new_f = scene.bump_visible_budget()
-                print(f"[warn] visible-anchor budget overflow at step "
-                      f"{step - 1}; auto-bumped visible_budget_factor to "
-                      f"{new_f:.3g} (next step recompiles)")
-            prev_vb_overflow = metrics.get("vb_overflow")
-            if tcfg.profile_dir and len(tcfg.profile_steps) > 1 \
-                    and step == tcfg.profile_steps[1]:
-                import jax
-                import jax.profiler
-                jax.block_until_ready(state)
-                jax.profiler.stop_trace()
-                print(f"profiler trace written to {tcfg.profile_dir}")
+        blocks_on = (getattr(tcfg, "scan_block", 1) > 1 and not callbacks
+                     and getattr(scene, "_pmode", None) is None
+                     and getattr(scene, "supports_train_block", False))
 
-            if step % log_interval == 0:
-                m = {k: float(v) for k, v in metrics.items()}
-                loss = m.get("loss", 0.0)
-                ema_loss = loss if ema_loss is None else \
-                    0.6 * ema_loss + 0.4 * loss
-                if self.writer is not None:
-                    for k, v in m.items():
-                        self.writer.add_scalar(f"train/{k}", v, step)
-                if step % (log_interval * 50) == 0:
-                    dt = max(time.time() - t0, 1e-9)
-                    ips = (step - self.start_step) / dt
-                    mpix_s = mpix_acc / dt
-                    print(f"step {step:6d}  loss {ema_loss:.4f}  "
-                          f"n_active {int(state.n_active)}  {ips:.1f} it/s  "
-                          f"{mpix_s:.2f} Mpix/s")
+        step = self.start_step + 1
+        while step <= tcfg.iterations:
+            K = self._block_len(scene, tcfg, step) if blocks_on else 1
+            if K > 1:
+                # K-step scan block: one dispatch, stacked metrics [K]
+                cams = [scene.dataloader.next_train() for _ in range(K)]
+                mpix_acc += sum(c.width * c.height for c in cams) / 1e6
+                state, ms = scene.train_block(state, cams, step)
+                last = step + K - 1
+                ms = {k: np.asarray(v) for k, v in ms.items()}
+                if ms.get("overflow") is not None and ms["overflow"].any():
+                    new_cap = scene.bump_instance_cap()
+                    print(f"[warn] instance buffer overflow inside block "
+                          f"[{step},{last}]; auto-bumped instance_cap to "
+                          f"{new_cap} (next block recompiles)")
+                if ms.get("vb_overflow") is not None \
+                        and ms["vb_overflow"].any():
+                    new_f = scene.bump_visible_budget()
+                    print(f"[warn] visible-anchor budget overflow inside "
+                          f"block [{step},{last}]; auto-bumped "
+                          f"visible_budget_factor to {new_f:.3g}")
+                for i in range(K):
+                    s = step + i
+                    if s % log_interval == 0:
+                        m = {k: float(v[i]) for k, v in ms.items()}
+                        loss = m.get("loss", 0.0)
+                        ema_loss = loss if ema_loss is None else \
+                            0.6 * ema_loss + 0.4 * loss
+                        if self.writer is not None:
+                            for k, v in m.items():
+                                self.writer.add_scalar(f"train/{k}", v, s)
+                metrics = {k: v[-1] for k, v in ms.items()}
+                step = last
+            else:
+                if tcfg.profile_dir and tcfg.profile_steps \
+                        and step == tcfg.profile_steps[0]:
+                    import jax.profiler
+                    jax.profiler.start_trace(tcfg.profile_dir)
+                for cb in callbacks:
+                    cb.run_callback_at_location(
+                        step, TrainingCallbackLocation.BEFORE_TRAIN_ITERATION)
+                if getattr(scene, "_pmode", None) == "dp":
+                    # one camera per device; each step consumes n_dev cams
+                    camera = [scene.dataloader.next_train()
+                              for _ in range(scene._n_dev)]
+                    mpix_acc += sum(c.width * c.height for c in camera) / 1e6
+                else:
+                    camera = scene.dataloader.next_train()
+                    mpix_acc += camera.width * camera.height / 1e6
+                state, metrics = scene.train_step(state, camera, step)
+                # Overflow is checked EVERY step, one step delayed: we
+                # sync on the previous step's flag while the current step
+                # is already enqueued, so the device queue never drains.
+                # (The reference resizes its binning buffers lazily inside
+                # the CUDA launch.)
+                if prev_overflow is not None and bool(prev_overflow):
+                    new_cap = scene.bump_instance_cap()
+                    print(f"[warn] instance buffer overflow at step "
+                          f"{step - 1}; auto-bumped instance_cap to "
+                          f"{new_cap} (next step recompiles)")
+                prev_overflow = metrics.get("overflow")
+                if prev_vb_overflow is not None and bool(prev_vb_overflow):
+                    new_f = scene.bump_visible_budget()
+                    print(f"[warn] visible-anchor budget overflow at step "
+                          f"{step - 1}; auto-bumped visible_budget_factor "
+                          f"to {new_f:.3g} (next step recompiles)")
+                prev_vb_overflow = metrics.get("vb_overflow")
+                if tcfg.profile_dir and len(tcfg.profile_steps) > 1 \
+                        and step == tcfg.profile_steps[1]:
+                    import jax
+                    import jax.profiler
+                    jax.block_until_ready(state)
+                    jax.profiler.stop_trace()
+                    print(f"profiler trace written to {tcfg.profile_dir}")
+
+                if step % log_interval == 0:
+                    m = {k: float(v) for k, v in metrics.items()}
+                    loss = m.get("loss", 0.0)
+                    ema_loss = loss if ema_loss is None else \
+                        0.6 * ema_loss + 0.4 * loss
                     if self.writer is not None:
-                        self.writer.add_scalar("perf/mpix_per_s", mpix_s,
-                                               step)
+                        for k, v in m.items():
+                            self.writer.add_scalar(f"train/{k}", v, step)
+
+            if step % (log_interval * 50) == 0:
+                dt = max(time.time() - t0, 1e-9)
+                ips = (step - self.start_step) / dt
+                mpix_s = mpix_acc / dt
+                print(f"step {step:6d}  loss "
+                      f"{-1.0 if ema_loss is None else ema_loss:.4f}  "
+                      f"n_active {int(state.n_active)}  {ips:.1f} it/s  "
+                      f"{mpix_s:.2f} Mpix/s")
+                if self.writer is not None:
+                    self.writer.add_scalar("perf/mpix_per_s", mpix_s, step)
 
             if step in tcfg.test_iterations:
                 ev = scene.evaluate(state, step)
@@ -153,9 +192,39 @@ class Trainer:
             for cb in callbacks:
                 cb.run_callback_at_location(
                     step, TrainingCallbackLocation.AFTER_TRAIN_ITERATION)
+            step += 1
 
         scene.state = state
         return state
+
+    @staticmethod
+    def _block_len(scene, tcfg, step: int) -> int:
+        """Longest scan block starting at `step` that ends on or before
+        every schedule boundary: densify/opacity-reset multiples and
+        eval/save/checkpoint steps may be the block's LAST step (their
+        host work runs after it); an SH-degree change must start a new
+        block; profiling steps force the per-step path."""
+        lens = [max(1, int(tcfg.scan_block)), tcfg.iterations - step + 1]
+        end_on, end_before = scene.block_events()
+        for iv in end_on:
+            if iv and iv > 0:
+                m = (step + iv - 1) // iv * iv
+                lens.append(m - step + 1)
+        for iv in end_before:
+            if iv and iv > 0:
+                m = step // iv * iv
+                m = m + iv if m <= step else m
+                lens.append(m - step)
+        for sched in (tcfg.test_iterations, tcfg.save_iterations,
+                      tcfg.checkpoint_iterations):
+            for s in sched:
+                if s >= step:
+                    lens.append(s - step + 1)
+        if tcfg.profile_dir:
+            for s in tcfg.profile_steps:
+                if s >= step:
+                    lens.append(s - step)
+        return max(1, min(lens))
 
     # ------------------------------------------------------------------
     def save_gaussians(self, state, step: int):

@@ -316,6 +316,7 @@ def _bwd2_kernel(tiles_x, cmap_ref, nlive_ref, ranges_ref, attrs_ref,
             total_wb = total_base + ddist * 2.0 * (S0 * S2 - S1 * S1)
             bgterm = final_T * dT
 
+            dCN = jnp.concatenate([dC, dN], axis=1)       # (PIX, 6)
             A = attrs_ref[:, :]
             a, aux = _surfel_alpha(A, px, py)
             one_m = 1.0 - a
@@ -324,15 +325,14 @@ def _bwd2_kernel(tiles_x, cmap_ref, nlive_ref, ranges_ref, attrs_ref,
             contrib = (a > 0.0) & (d_before * one_m >= T_EPS)
             w = jnp.where(contrib, a * d_before, 0.0)
             m = aux["m"]
-
-            def base_of(A, aux):
-                b = aux["depth"] * dD
-                for ci in range(3):
-                    b += A[A_RGB + ci:A_RGB + ci + 1, :] * dC[:, ci:ci + 1]
-                    b += A[A_NRM + ci:A_NRM + ci + 1, :] * dN[:, ci:ci + 1]
-                return b
-
-            beta = base_of(A, aux) + ddist * (
+            # u[p,i] for the rgb+normal channels as one (PIX,6)@(6,CHUNK)
+            # MXU matmul; depth and distortion terms are per-(pixel,
+            # instance) and stay elementwise
+            base = aux["depth"] * dD + jax.lax.dot_general(
+                dCN, A[A_RGB:A_NRM + 3, :], (((1,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)
+            beta = base + ddist * (
                 m * m * S0 + S2 - 2.0 * m * S1)
             wbeta = w * beta
             prefix_inc = state_ref[:, 5:6] + _prefix_sum_lanes(wbeta, False)
@@ -366,33 +366,60 @@ def _bwd2_kernel(tiles_x, cmap_ref, nlive_ref, ranges_ref, attrs_ref,
             gp1 = gs1 * inv_pz
             gp2 = -(aux["s0"] * gs0 + aux["s1"] * gs1) * inv_pz
 
+            e0 = gdepth * jnp.where(is3d, aux["s0"], 0.0)
+            e1 = gdepth * jnp.where(is3d, aux["s1"], 0.0)
+            opterm = da_eff * aux["g_exp"]
+            # ONE fused MXU contraction over pixels replaces all 21 sublane
+            # reductions: lhs basis = [1, pxl, pyl, dC, dN] (PIX, 9) in the
+            # tile-LOCAL frame (see blend_pallas._bwd_kernel for the
+            # cancellation rationale), rhs = nine lane-concatenated blocks.
+            # Block j of the (9, 9*CHUNK) result holds sum_p basis_r * X_j:
+            #   gp0..gp2 -> rows 0-2 give the CA/CB/CC moments,
+            #   g2d      -> rows 0-2 give the xy (low-pass mean) moments,
+            #   e0,e1,gdepth,opterm -> row 0 gives the tw/op plain sums,
+            #   w        -> rows 3-8 give the rgb/nrm channel rows.
+            # (This variant was reverted in round 4 on a "Mosaic
+            # miscompile" verdict from the train-step parity harness —
+            # which was actually polluted by the bf16-matmul-default and
+            # SSIM-fusion backward bugs, both since fixed; it is exact
+            # under the now-trusted gate, benchmarks/tpu_parity.py.)
+            ox = px[0:1, :]
+            oy = py[0:1, :]
+            pxl = px - ox
+            pyl = py - oy
+            basis = jnp.concatenate(
+                [jnp.ones_like(pxl), pxl, pyl, dCN], axis=1)   # (PIX, 9)
+            G = jnp.concatenate(
+                [gp0, gp1, gp2, g2d, e0, e1, gdepth, opterm, w], axis=1)
+            R = jax.lax.dot_general(
+                basis, G, (((0,), (0,)), ((), ())),
+                precision=jax.lax.Precision.HIGHEST,
+                preferred_element_type=jnp.float32)        # (9, 9*CHUNK)
+            blk = lambda j: R[:, j * CHUNK:(j + 1) * CHUNK]
+            Rgp = [blk(0), blk(1), blk(2)]
+            Rg2 = blk(3)
+            # xy rows: sum(g2d*4*dx) with dx = mean_x - px expands in the
+            # local frame to 4*((mean_x - ox)*s0 - sum(pxl*g2d))
+            mxa = r(A_XY) - ox
+            mya = r(A_XY + 1) - oy
             sm = lambda v: jnp.sum(v, axis=0, keepdims=True)
-            gps = (gp0, gp1, gp2)
-            extras = (gdepth * jnp.where(is3d, aux["s0"], 0.0),
-                      gdepth * jnp.where(is3d, aux["s1"], 0.0),
-                      gdepth)
-            # Per-pixel reductions as plain VPU sublane sums. Matmul-ized
-            # variants (one fused (9,PIX)@(PIX,9*CHUNK) contraction, and
-            # split (3,PIX)@(PIX,CHUNK) moment contractions) produce
-            # SUBTLY WRONG geometry rows when Mosaic-compiled at larger
-            # grid sizes while being exact in interpret mode — caught by
-            # TPU-vs-CPU train-step gradient parity in round 4. Until the
-            # miscompile is understood, this path stays reduction-only.
-            # rows in A_* order: xy(2) CA(3) CB(3) CC(3) tw(3) op rgb(3)
-            # nrm(3)
-            rows = ([sm(g2d * 4.0 * aux["dx"]), sm(g2d * 4.0 * aux["dy"])]
-                    + [sm(gpi) for gpi in gps]
-                    + [sm(-px * gpi) for gpi in gps]
-                    + [sm(-py * gpi) for gpi in gps]
-                    + [sm(extras[j]) for j in range(3)]
-                    + [sm(da_eff * aux["g_exp"])]
-                    + [sm(w * dC[:, ci:ci + 1]) for ci in range(3)]
-                    # median_normal is a SELECTION output (like median
-                    # depth): its cotangent routes to the selected
-                    # instance's normal row through the median onehot
-                    + [sm(w * dN[:, ci:ci + 1]
-                          + jnp.where(onehot, dmednrm[:, ci:ci + 1], 0.0))
-                       for ci in range(3)])
+            # median_normal is a SELECTION output (like median depth): its
+            # cotangent routes to the selected instance's normal row
+            # through the median onehot — a sparse sublane sum on top of
+            # the fused contraction's w-weighted nrm rows
+            mednrm_rows = jnp.concatenate(
+                [sm(jnp.where(onehot, dmednrm[:, ci:ci + 1], 0.0))
+                 for ci in range(3)], axis=0)              # (3, CHUNK)
+            rows = (
+                [4.0 * (mxa * Rg2[0:1] - Rg2[1:2]),
+                 4.0 * (mya * Rg2[0:1] - Rg2[2:3])]
+                + [Rgp[j][0:1] for j in range(3)]                   # CA
+                + [-(ox * Rgp[j][0:1] + Rgp[j][1:2]) for j in range(3)]
+                + [-(oy * Rgp[j][0:1] + Rgp[j][2:3]) for j in range(3)]
+                + [blk(4)[0:1], blk(5)[0:1], blk(6)[0:1]]           # tw
+                + [blk(7)[0:1]]                                     # op
+                + [blk(8)[3:6]]                                     # rgb
+                + [blk(8)[6:9] + mednrm_rows])                      # nrm
             dattr_ref[:, :] = jnp.concatenate(
                 rows + [jnp.zeros((NUM_ATTRS2 - 21, CHUNK), jnp.float32)],
                 axis=0)

@@ -50,6 +50,10 @@ class PGSRSceneConfig(VanillaSceneConfig):
 
 
 class PGSRScene(VanillaScene):
+
+    # the pgsr step consumes a second (near) camera and multi-view
+    # schedule flags; the scan-block path is not wired for it
+    supports_train_block = False
     config: PGSRSceneConfig
 
     def _gshard_capacity(self) -> int:

@@ -229,6 +229,32 @@ class ScaffoldScene(VanillaScene):
             out_specs=(state_spec, P()), check_vma=False)
         return jax.jit(fn, donate_argnums=(0,))
 
+    def block_events(self):
+        cfg = self.config.gaussians
+        return ([cfg.densification_interval], [])
+
+    def train_block(self, state, cameras, step0: int):
+        K = len(cameras)
+        fn = self._jit_cache.get(("block", K))
+        if fn is None:
+            fn = self._build_block_fn(K)
+            self._jit_cache[("block", K)] = fn
+        cam_stack, gts = self._batch_cameras(cameras)
+        uids = jnp.asarray([c.uid for c in cameras])
+        bgs = jnp.stack([self.get_background(step0 + i) for i in range(K)])
+        steps = jnp.arange(step0, step0 + K, dtype=jnp.float32)
+        return fn(state, cam_stack, uids, gts, bgs, steps)
+
+    def _build_block_fn(self, K: int):
+        def block(state, cams, uids, gts, bgs, steps):
+            def body(st, x):
+                cam, uid, gt, bg, step = x
+                return self._train_step(0, st, cam, uid, gt, bg, step)
+
+            return jax.lax.scan(body, state, (cams, uids, gts, bgs, steps))
+
+        return jax.jit(block, donate_argnums=(0,))
+
     def train_step(self, state, camera, step: int):
         fn = self._jit_cache.get("train")
         if fn is None:

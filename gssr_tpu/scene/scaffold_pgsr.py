@@ -35,6 +35,10 @@ class ScaffoldPGSRSceneConfig(ScaffoldSceneConfig):
 
 
 class ScaffoldPGSRScene(ScaffoldScene):
+
+    # the pgsr step consumes a second (near) camera and multi-view
+    # schedule flags; the scan-block path is not wired for it
+    supports_train_block = False
     config: ScaffoldPGSRSceneConfig
 
     def _gshard_capacity(self) -> int:

@@ -322,6 +322,55 @@ class VanillaScene:
         return fn(state, cam_arrays, gt, bg,
                   jnp.asarray(step, jnp.float32))
 
+    # ---- K-step scan blocks --------------------------------------------
+    # Every single-step dispatch through a remote/tunneled chip ships
+    # fresh host inputs (camera pytree, bg, step scalar) and pays a round
+    # trip — measured as the dominant cost of the real train step in this
+    # environment (docs/tpu-perf-notes.md, round 4). A block runs K
+    # consecutive steps inside ONE jitted lax.scan over device-stacked
+    # per-step inputs, amortizing the dispatch toll K-fold. The trainer
+    # sizes blocks so schedule boundaries (densify, opacity reset, SH
+    # ramp, eval/save) land exactly on block ends.
+    supports_train_block = True
+
+    def block_events(self):
+        """(end_on_multiple, end_before_multiple) step intervals bounding
+        scan blocks. Densify/opacity-reset fire AFTER their step, so a
+        block may END ON a multiple; the SH degree changes AT a multiple,
+        so a block must end BEFORE it."""
+        cfg = self.config.gaussians
+        return ([cfg.densification_interval, cfg.opacity_reset_interval],
+                [self.gaussians.config.oneup_sh_interval])
+
+    def train_block(self, state, cameras, step0: int):
+        """Run len(cameras) consecutive train steps in one dispatch.
+        Single-device mode only; the caller guarantees no block_events()
+        boundary lies inside. Returns (state, stacked metrics [K])."""
+        K = len(cameras)
+        sh_degree = self.gaussians.active_sh_degree(step0)
+        fn = self._jit_cache.get(("block", sh_degree, K))
+        if fn is None:
+            fn = self._build_block_fn(sh_degree, K)
+            self._jit_cache[("block", sh_degree, K)] = fn
+        return fn(state, *self._block_xs(cameras, step0))
+
+    def _block_xs(self, cameras, step0):
+        cam_stack, gts = self._batch_cameras(cameras)
+        bgs = jnp.stack([self.get_background(step0 + i)
+                         for i in range(len(cameras))])
+        steps = jnp.arange(step0, step0 + len(cameras), dtype=jnp.float32)
+        return (cam_stack, gts, bgs, steps)
+
+    def _build_block_fn(self, sh_degree: int, K: int):
+        def block(state, cams, gts, bgs, steps):
+            def body(st, x):
+                cam, gt, bg, step = x
+                return self._train_step(sh_degree, st, cam, gt, bg, step)
+
+            return jax.lax.scan(body, state, (cams, gts, bgs, steps))
+
+        return jax.jit(block, donate_argnums=(0,))
+
     # ------------------------------------------------------------------
     def aux_state(self):
         """Scene-side state that must ride in checkpoints beyond the

@@ -212,3 +212,41 @@ def test_train_split_skips_done_tiles(tmp_path, capsys, monkeypatch):
     train_split.main()
     out3 = capsys.readouterr().out
     assert out3.count("=== training") == 2
+
+
+def test_scan_block_matches_per_step(tmp_path):
+    """The K-step scan-block trainer path equals per-step training: same
+    camera sequence, same losses, same final state (up to float
+    reassociation between the scanned and unrolled compilations), with a
+    densification boundary INSIDE the horizon so block splitting at
+    schedule events is exercised."""
+    import dataclasses
+    import jax
+    sys.path.insert(0, os.path.dirname(__file__))
+    from synthetic import write_synthetic_colmap_scene
+    from test_methods_e2e import _small_config
+    from gssr_tpu.engine.trainer import Trainer
+
+    d = tmp_path / "scene"
+    write_synthetic_colmap_scene(str(d), n_cams=4, n_pts=48,
+                                 width=32, height=32)
+
+    def run(tag, scan_block):
+        config = _small_config("3dgs", str(d), str(tmp_path / tag))
+        config.trainer.iterations = 10
+        config.trainer.test_iterations = []
+        config.trainer.save_iterations = []
+        config.trainer.scan_block = scan_block
+        config.scene.gaussians = dataclasses.replace(
+            config.scene.gaussians, densification_interval=6,
+            densify_from_iter=1, densify_until_iter=9)
+        t = Trainer(config)
+        t.setup()
+        return t.train()
+
+    s1 = run("steps", 1)
+    s2 = run("blocks", 4)
+    for a, b in zip(jax.tree.leaves(s1), jax.tree.leaves(s2)):
+        a, b = np.asarray(a, np.float32), np.asarray(b, np.float32)
+        scale = max(float(np.abs(a).max()), 1.0)
+        np.testing.assert_allclose(a, b, atol=5e-3 * scale)
