@@ -205,7 +205,7 @@ class Trainer:
         host work runs after it); an SH-degree change must start a new
         block; profiling steps force the per-step path."""
         lens = [max(1, int(tcfg.scan_block)), tcfg.iterations - step + 1]
-        end_on, end_before = scene.block_events()
+        end_on, end_before, end_on_steps = scene.block_events()
         for iv in end_on:
             if iv and iv > 0:
                 m = (step + iv - 1) // iv * iv
@@ -216,7 +216,7 @@ class Trainer:
                 m = m + iv if m <= step else m
                 lens.append(m - step)
         for sched in (tcfg.test_iterations, tcfg.save_iterations,
-                      tcfg.checkpoint_iterations):
+                      tcfg.checkpoint_iterations, end_on_steps):
             for s in sched:
                 if s >= step:
                     lens.append(s - step + 1)

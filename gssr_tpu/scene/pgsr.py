@@ -51,9 +51,61 @@ class PGSRSceneConfig(VanillaSceneConfig):
 
 class PGSRScene(VanillaScene):
 
-    # the pgsr step consumes a second (near) camera and multi-view
-    # schedule flags; the scan-block path is not wired for it
-    supports_train_block = False
+    supports_train_block = True
+
+    def block_events(self):
+        end_on, end_before, end_steps = super().block_events()
+        # the multi-view variant switches AFTER multi_view_from, so a
+        # block may end on it but not cross it
+        return end_on, end_before, end_steps + [self.config.multi_view_from]
+
+    def train_block(self, state, cameras, step0: int):
+        K = len(cameras)
+        sh_degree = self.gaussians.active_sh_degree(step0)
+        # uniform static variant over the block (trainer blocks never
+        # cross multi_view_from); a block falls back to single-view if
+        # ANY camera lacks covisible pairs, where the per-step path would
+        # flip per camera — only reachable on degenerate pair data
+        multi = (step0 > self.config.multi_view_from
+                 and all(len(c.near_ids) > 0 for c in cameras))
+        fn = self._jit_cache.get(("block", sh_degree, multi, K))
+        if fn is None:
+            fn = self._build_block_fn_pgsr(sh_degree, multi, K)
+            self._jit_cache[("block", sh_degree, multi, K)] = fn
+        if multi:
+            pairs = [self._near_for(c) for c in cameras]
+        else:
+            zero_gray = jnp.zeros((self.height, self.width), jnp.float32)
+            pairs = [(c, zero_gray) for c in cameras]
+        cam_stack, gts = self._batch_cameras(cameras)
+        near_stack = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                  *[p[0].arrays() for p in pairs])
+        ngrays = jnp.stack([p[1] for p in pairs])
+        bgs = jnp.stack([self.get_background(step0 + i) for i in range(K)])
+        steps = jnp.arange(step0, step0 + K, dtype=jnp.float32)
+        self.key, sub = jax.random.split(self.key)
+        keys = jax.random.split(sub, K)
+        state, self.extra_stats, ms = fn(
+            state, self.extra_stats, cam_stack, near_stack, gts, ngrays,
+            bgs, steps, keys)
+        return state, ms
+
+    def _build_block_fn_pgsr(self, sh_degree: int, multi: bool, K: int):
+        def block(state, extra, cams, nears, gts, ngrays, bgs, steps, keys):
+            def body(carry, x):
+                st, ex = carry
+                cam, near, gt, ngray, bg, step, key = x
+                st, ex, metrics = self._train_step(
+                    sh_degree, multi, st, ex, cam, near, gt, ngray, bg,
+                    step, key)
+                return (st, ex), metrics
+
+            (state, extra), ms = jax.lax.scan(
+                body, (state, extra),
+                (cams, nears, gts, ngrays, bgs, steps, keys))
+            return state, extra, ms
+
+        return jax.jit(block, donate_argnums=(0, 1))
     config: PGSRSceneConfig
 
     def _gshard_capacity(self) -> int:

@@ -231,7 +231,7 @@ class ScaffoldScene(VanillaScene):
 
     def block_events(self):
         cfg = self.config.gaussians
-        return ([cfg.densification_interval], [])
+        return ([cfg.densification_interval], [], [])
 
     def train_block(self, state, cameras, step0: int):
         K = len(cameras)

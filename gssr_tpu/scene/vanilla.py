@@ -334,13 +334,15 @@ class VanillaScene:
     supports_train_block = True
 
     def block_events(self):
-        """(end_on_multiple, end_before_multiple) step intervals bounding
+        """(end_on_intervals, end_before_intervals, end_on_steps) bounding
         scan blocks. Densify/opacity-reset fire AFTER their step, so a
         block may END ON a multiple; the SH degree changes AT a multiple,
-        so a block must end BEFORE it."""
+        so a block must end BEFORE it; end_on_steps are absolute one-off
+        boundaries a block may end on but not cross (e.g. PGSR's
+        multi_view_from)."""
         cfg = self.config.gaussians
         return ([cfg.densification_interval, cfg.opacity_reset_interval],
-                [self.gaussians.config.oneup_sh_interval])
+                [self.gaussians.config.oneup_sh_interval], [])
 
     def train_block(self, state, cameras, step0: int):
         """Run len(cameras) consecutive train steps in one dispatch.
