@@ -36,9 +36,51 @@ class ScaffoldPGSRSceneConfig(ScaffoldSceneConfig):
 
 class ScaffoldPGSRScene(ScaffoldScene):
 
-    # the pgsr step consumes a second (near) camera and multi-view
-    # schedule flags; the scan-block path is not wired for it
-    supports_train_block = False
+    supports_train_block = True
+
+    def block_events(self):
+        end_on, end_before, end_steps = super().block_events()
+        return end_on, end_before, end_steps + [self.config.multi_view_from]
+
+    def train_block(self, state, cameras, step0: int):
+        K = len(cameras)
+        multi = (step0 > self.config.multi_view_from
+                 and all(len(c.near_ids) > 0 for c in cameras))
+        fn = self._jit_cache.get(("block", multi, K))
+        if fn is None:
+            fn = self._build_block_fn_spgsr(multi, K)
+            self._jit_cache[("block", multi, K)] = fn
+        if multi:
+            pairs = [PGSRScene._near_for(self, c) for c in cameras]
+        else:
+            zero_gray = jnp.zeros((self.height, self.width), jnp.float32)
+            pairs = [(c, zero_gray) for c in cameras]
+        cam_stack, gts = self._batch_cameras(cameras)
+        near_stack = jax.tree.map(lambda *xs: jnp.stack(xs),
+                                  *[p[0].arrays() for p in pairs])
+        ngrays = jnp.stack([p[1] for p in pairs])
+        uids = jnp.asarray([c.uid for c in cameras])
+        near_uids = jnp.asarray([p[0].uid for p in pairs])
+        bgs = jnp.stack([self.get_background(step0 + i) for i in range(K)])
+        steps = jnp.arange(step0, step0 + K, dtype=jnp.float32)
+        self.key, sub = jax.random.split(self.key)
+        keys = jax.random.split(sub, K)
+        return fn(state, cam_stack, near_stack, uids, near_uids, gts,
+                  ngrays, bgs, steps, keys)
+
+    def _build_block_fn_spgsr(self, multi: bool, K: int):
+        def block(state, cams, nears, uids, nuids, gts, ngrays, bgs,
+                  steps, keys):
+            def body(st, x):
+                cam, near, uid, nuid, gt, ngray, bg, step, key = x
+                return self._train_step(0, multi, st, cam, near, uid,
+                                        nuid, gt, ngray, bg, step, key)
+
+            return jax.lax.scan(
+                body, state,
+                (cams, nears, uids, nuids, gts, ngrays, bgs, steps, keys))
+
+        return jax.jit(block, donate_argnums=(0,))
     config: ScaffoldPGSRSceneConfig
 
     def _gshard_capacity(self) -> int:
