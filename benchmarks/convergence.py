@@ -274,6 +274,7 @@ def run_method(method, scene_dir, out_root, iters):
                               os.path.abspath(__file__))))
     wall = time.time() - t0
     curve = []
+    growth = []      # densification telemetry: n_active over the run
     for line in proc.stdout.splitlines():
         mo = re.match(r"\[eval (\d+)\] eval_l1=([\d.]+)\s+eval_psnr=([\d.]+)",
                       line)
@@ -281,11 +282,16 @@ def run_method(method, scene_dir, out_root, iters):
             curve.append({"step": int(mo.group(1)),
                           "l1": float(mo.group(2)),
                           "psnr": float(mo.group(3))})
+        mo = re.match(r"step\s+(\d+)\s+loss\s+[\d.+-]+\s+n_active\s+(\d+)",
+                      line)
+        if mo:
+            growth.append({"step": int(mo.group(1)),
+                           "n_active": int(mo.group(2))})
     if proc.returncode != 0:
         print(proc.stdout[-3000:])
         print(proc.stderr[-3000:])
     return {"method": method, "iters": iters, "wall_s": round(wall, 1),
-            "curve": curve,
+            "curve": curve, "n_active_curve": growth,
             "final_gaussians": _saved_gaussian_count(out_root, method),
             "returncode": proc.returncode}
 

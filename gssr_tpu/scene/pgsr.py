@@ -83,8 +83,12 @@ class PGSRScene(VanillaScene):
         ngrays = jnp.stack([p[1] for p in pairs])
         bgs = jnp.stack([self.get_background(step0 + i) for i in range(K)])
         steps = jnp.arange(step0, step0 + K, dtype=jnp.float32)
-        self.key, sub = jax.random.split(self.key)
-        keys = jax.random.split(sub, K)
+        # per-step keys are a pure function of (self.key, absolute step):
+        # block-sequential splits would make the NCC sample stream depend
+        # on WHERE block boundaries fall, breaking exact kill-and-resume
+        # (a resumed run re-partitions the remaining steps into blocks)
+        keys = jax.vmap(functools.partial(jax.random.fold_in, self.key))(
+            jnp.arange(step0, step0 + K, dtype=jnp.uint32))
         state, self.extra_stats, ms = fn(
             state, self.extra_stats, cam_stack, near_stack, gts, ngrays,
             bgs, steps, keys)
@@ -416,7 +420,8 @@ class PGSRScene(VanillaScene):
             near_cams = cams
             near_grays = [jnp.zeros((self.height, self.width), jnp.float32)
                           for _ in cams]
-        self.key, k = jax.random.split(self.key)
+        # same absolute-step key derivation as train_block (exact resume)
+        k = jax.random.fold_in(self.key, jnp.uint32(step))
         if self._pmode == "dp":
             cam_arrays, gt = self._batch_cameras(cams)
             near_arr = jax.tree.map(lambda *xs: jnp.stack(xs),

@@ -63,8 +63,9 @@ class ScaffoldPGSRScene(ScaffoldScene):
         near_uids = jnp.asarray([p[0].uid for p in pairs])
         bgs = jnp.stack([self.get_background(step0 + i) for i in range(K)])
         steps = jnp.arange(step0, step0 + K, dtype=jnp.float32)
-        self.key, sub = jax.random.split(self.key)
-        keys = jax.random.split(sub, K)
+        # absolute-step key derivation — see PGSRScene.train_block
+        keys = jax.vmap(functools.partial(jax.random.fold_in, self.key))(
+            jnp.arange(step0, step0 + K, dtype=jnp.uint32))
         return fn(state, cam_stack, near_stack, uids, near_uids, gts,
                   ngrays, bgs, steps, keys)
 
@@ -264,7 +265,7 @@ class ScaffoldPGSRScene(ScaffoldScene):
             near_cams = cams
             near_grays = [jnp.zeros((self.height, self.width), jnp.float32)
                           for _ in cams]
-        self.key, k = jax.random.split(self.key)
+        k = jax.random.fold_in(self.key, jnp.uint32(step))
         if self._pmode == "dp":
             cam_arrays, gt = self._batch_cameras(cams)
             near_arr = jax.tree.map(lambda *xs: jnp.stack(xs),
