@@ -28,6 +28,10 @@ BENCHES = [
     ("scaffold", [sys.executable, os.path.join(HERE, "bench_scaffold.py")]),
     ("octree-2dgs", [sys.executable,
                      os.path.join(HERE, "bench_octree2dgs.py")]),
+    # the REAL jitted train step (losses + Adam + stats) under the K-step
+    # scan-block dispatch path; prints one metric line per method
+    ("train_step", [sys.executable,
+                    os.path.join(HERE, "bench_train_step.py")]),
 ]
 
 
@@ -44,16 +48,18 @@ def main():
         try:
             res = subprocess.run(cmd, capture_output=True, text=True,
                                  timeout=args.timeout)
-            line = None
+            lines = []
             for ln in res.stdout.strip().splitlines():
                 ln = ln.strip()
                 if ln.startswith("{") and '"metric"' in ln:
-                    line = json.loads(ln)
-            if line is None:
+                    lines.append(json.loads(ln))
+            if not lines:
                 table[name] = {"error": (res.stdout[-400:] +
                                          res.stderr[-400:])}
+            elif len(lines) == 1:
+                table[name] = lines[0]
             else:
-                table[name] = line
+                table[name] = {l["metric"]: l for l in lines}
         except subprocess.TimeoutExpired:
             table[name] = {"error": f"timeout after {args.timeout}s"}
         print(json.dumps(table[name]), flush=True)

@@ -25,6 +25,7 @@ wrap inputs in stop_gradient.
 """
 from __future__ import annotations
 
+import os
 from typing import NamedTuple
 
 import jax
@@ -80,8 +81,20 @@ def segment_reduce_sorted(vals, gid_reduce, seg_bounds, block: int = 128):
     """
     i_cap, n_cols = vals.shape
     assert i_cap % block == 0, "instance_cap must be block-aligned"
-    cols = tuple(vals[:, i] for i in range(n_cols))
-    out = jax.lax.sort((gid_reduce,) + cols, num_keys=1)
+    if os.environ.get("GSSR_SEGRED_PERM", "0") != "0":
+        # permutation variant: a 2-operand (gid, iota) sort plus ONE row
+        # gather of the value block, instead of carrying all C value
+        # columns through a (1+C)-operand sort. Wins when C is large
+        # enough that sort ops dominate the gather's ~6ns/idx
+        # (A/B-measured on chip; see docs/tpu-perf-notes.md).
+        from gssr_tpu.ops.blend_pallas import _row_gather as _rg
+        _, order = jax.lax.sort(
+            (gid_reduce, jnp.arange(i_cap, dtype=jnp.int32)), num_keys=1)
+        g = _rg(vals, order)
+        out = (None,) + tuple(g[:, i] for i in range(n_cols))
+    else:
+        cols = tuple(vals[:, i] for i in range(n_cols))
+        out = jax.lax.sort((gid_reduce,) + cols, num_keys=1)
 
     pb = seg_bounds // block                      # [N+1] block index
     po = seg_bounds - pb * block                  # [N+1] within-block offset
