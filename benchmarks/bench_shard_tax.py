@@ -65,6 +65,11 @@ def main():
     ap.add_argument("--method", default="3dgs")
     ap.add_argument("--steps", type=int, default=12)
     ap.add_argument("--tag", default="r5")
+    ap.add_argument("--modes", default=None,
+                    help="comma list; default none,dp,band[,gshard]. Each "
+                         "mode pays a full remote train-step compile "
+                         "(~10-15 min on the tunneled chip) — scope this "
+                         "when the chip schedule is tight")
     args = ap.parse_args()
 
     import tempfile
@@ -81,6 +86,9 @@ def main():
     if args.method in ("3dgs", "2dgs", "scaffold-gs", "octree-gs",
                        "scaffold-2dgs", "octree-2dgs"):
         modes.append("gshard")
+    if args.modes:
+        modes = args.modes.split(",")
+        assert modes[0] == "none", "first mode must be the unsharded base"
     rows = {}
     for mode in modes:
         dt = bench_mode(args.method, scene_dir, mode, args.steps)

@@ -252,7 +252,7 @@ METHOD_ARGS = {
 }
 
 
-def run_method(method, scene_dir, out_root, iters):
+def run_method(method, scene_dir, out_root, iters, log_interval=100):
     estep = max(50, iters // 16 // 50 * 50)
     evals = list(range(estep, iters + 1, estep))
     cmd = [sys.executable, "train.py", method,
@@ -262,7 +262,9 @@ def run_method(method, scene_dir, out_root, iters):
            "--trainer.iterations", str(iters),
            "--trainer.test-iterations", ",".join(map(str, evals)),
            "--trainer.save-iterations", str(iters),
-           "--trainer.log-interval", "100",
+           # n_active prints every 50*log_interval steps — pass 10 for
+           # dense densification telemetry on long-horizon runs
+           "--trainer.log-interval", str(log_interval),
            "--scene.instance-cap", str(INSTANCE_CAP),
            "--scene.gaussians.densify-until-iter", str(iters // 2),
            "--scene.gaussians.position-lr-max-steps", str(iters),
@@ -326,6 +328,10 @@ def main():
     ap.add_argument("--gt-sub", type=int, default=1,
                     help="subsample GT scene by this factor (CPU smoke)")
     ap.add_argument("--n-cams", type=int, default=54)
+    ap.add_argument("--skip-mesh", action="store_true",
+                    help="skip the TSDF mesh scoring pass (long-horizon "
+                         "runs near a wall-clock budget)")
+    ap.add_argument("--log-interval", type=int, default=100)
     args = ap.parse_args()
     global WIDTH, HEIGHT, INSTANCE_CAP, GT_SUB, N_CAMS
     if args.size:
@@ -343,8 +349,10 @@ def main():
     gt_pts = make_structured_scene(np.random.default_rng(0))[0]
     for method in args.methods.split(","):
         print(f"=== {method} ({args.iters} iters) ===")
-        r = run_method(method, scene_dir, args.out_root, args.iters)
-        if r["returncode"] == 0 and method in SURFACE_METHODS:
+        r = run_method(method, scene_dir, args.out_root, args.iters,
+                       log_interval=args.log_interval)
+        if r["returncode"] == 0 and method in SURFACE_METHODS \
+                and not args.skip_mesh:
             r["mesh"] = eval_mesh(method, args.out_root, gt_pts)
             if "chamfer" in r["mesh"]:
                 print(f"  mesh: chamfer {r['mesh']['chamfer']:.4f} "
